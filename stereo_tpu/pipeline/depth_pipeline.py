@@ -1,0 +1,110 @@
+"""Depth-estimation pipeline core: config dispatch + single-call processing.
+
+Parity with the reference's ``pipeline/depth_estimation_pipeline.py``:
+``DepthEstimationPipeline.process(left, right=None)`` optionally synthesizes
+the right view (Deep3D) then runs the selected stereo-matching backend,
+timing both stages when ``log_perf_time`` is set (``:55-66``).
+
+TPU-native differences:
+* the classical backend is a single jitted XLA graph, not 8 kernel launches;
+* right-view synthesis is constructed lazily on the first single-view frame
+  (the reference always constructs it, ``:51``), so stereo-pair runs never
+  pay Deep3D init;
+* ``process_batch`` runs a whole batch of frames through a vmapped graph —
+  the unit of data parallelism on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+
+from ..core.config import PipelineConfig
+from ..utils.profiling import StageTimer, perf_clock
+from .backends import (AVAILABLE_DNN_BACKENDS, ClassicalStereoBackend,
+                       DnnStereoMatchingBackend, StereoMatchingBackend)
+
+
+@dataclasses.dataclass
+class DepthEstimationResult:
+    """Outputs of one ``process`` call (parity: reference ``:31-35``)."""
+
+    left_image: jax.Array
+    right_image: jax.Array
+    disparity_map: jax.Array
+
+
+@dataclasses.dataclass
+class DepthEstimationPipelineContext:
+    """Per-frame context passed to hooks (parity: reference ``:38-44``)."""
+
+    disparity_map: jax.Array
+    left_image: jax.Array
+    right_image: jax.Array
+    config: PipelineConfig
+    frame_index: int
+
+
+class DepthEstimationPipeline:
+
+    def __init__(self, config: PipelineConfig = PipelineConfig(),
+                 synthesis=None):
+        self._config = config
+        self._right_view_synthesis = synthesis
+        self._stereo_matching = self._build_backend()
+        self._timer = StageTimer()
+        print(f"Using '{config.stereo_matching_backend}' as stereo matching backend.")
+
+    def get_configuration(self) -> PipelineConfig:
+        return self._config
+
+    @property
+    def stereo_matching(self) -> StereoMatchingBackend:
+        return self._stereo_matching
+
+    def process(self, left_image, right_image=None) -> DepthEstimationResult:
+        """One frame: (3, H, W) float RGB (0..255) -> disparity (H, W)."""
+        cfg = self._config
+        with self._timer.stage("right_view_generation"):
+            with perf_clock("Right view generation", cfg.log_perf_time):
+                if right_image is None:
+                    right_image = self._synthesis().process(left_image)
+        with self._timer.stage("stereo_matching"):
+            with perf_clock("Stereo matching", cfg.log_perf_time):
+                disparity_map = self._stereo_matching.process(left_image,
+                                                             right_image)
+        return DepthEstimationResult(left_image=left_image,
+                                     right_image=right_image,
+                                     disparity_map=disparity_map)
+
+    def process_batch(self, left_batch, right_batch=None) -> DepthEstimationResult:
+        """A batch of frames: (N, 3, H, W) -> (N, H, W) disparities."""
+        if right_batch is None:
+            right_batch = self._synthesis().process_batch(left_batch)
+        disparity = self._stereo_matching.process_batch(left_batch, right_batch)
+        return DepthEstimationResult(left_image=left_batch,
+                                     right_image=right_batch,
+                                     disparity_map=disparity)
+
+    def stage_times(self) -> dict:
+        """Mean seconds per stage across all processed frames."""
+        return self._timer.summary()
+
+    # ------------------------------------------------------------------
+    def _build_backend(self) -> StereoMatchingBackend:
+        cfg = self._config
+        name = cfg.stereo_matching_backend
+        if name in AVAILABLE_DNN_BACKENDS:
+            return DnnStereoMatchingBackend(name, image_shape=cfg.image_shape)
+        if name in ("classical", "cuda"):  # "cuda" kept as a parity alias
+            return ClassicalStereoBackend(cfg.matching_config())
+        raise RuntimeError(f"Unsupported stereo matching backend: {name}")
+
+    def _synthesis(self):
+        if self._right_view_synthesis is None:
+            from ..synthesis import RightViewSynthesis
+            self._right_view_synthesis = RightViewSynthesis(
+                output_shape=self._config.image_shape)
+        return self._right_view_synthesis
