@@ -1,0 +1,101 @@
+"""Flax stereo/synthesis model registry.
+
+Replaces the reference's traced-TorchScript model registry
+(``pipeline/depth/dnn_stereo_matching_backend.py:7-13``): models are native
+Flax modules, "traces" are Orbax checkpoints of the variables pytree, and
+the compiled artifact is the jitted ``apply``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .cost_volumes import (build_concat_volume, build_gwc_volume,
+                           build_interlaced_volume, disparity_regression,
+                           groupwise_correlation)
+from .deep3d import Deep3D
+from .gwcnet import GWCNET_LOSS_WEIGHTS, GwcNet, gwcnet_loss
+from .msnet import MSNET_LOSS_WEIGHTS, MSNet2D, MSNet3D, msnet_loss
+
+_STEREO_MODELS = {
+    "gwcnet": GwcNet,
+    "msnet2d": MSNet2D,
+    "msnet3d": MSNet3D,
+}
+
+
+def build_stereo_model(name: str, max_disparity: int = 192):
+    """Construct a stereo network by registry name."""
+    try:
+        cls = _STEREO_MODELS[name]
+    except KeyError:
+        raise RuntimeError(f"Unknown stereo model {name!r}; "
+                           f"available: {sorted(_STEREO_MODELS)}") from None
+    return cls(max_disparity=max_disparity)
+
+
+def init_stereo_params(model, image_shape: Tuple[int, int], seed: int = 0):
+    """Initialize a stereo model's variables for a given image shape.
+
+    Initializes in train mode so the auxiliary-output heads exist — the
+    variables then serve both training and inference applies.
+    """
+    h, w = image_shape
+    x = jnp.zeros((1, 3, h, w), jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    return model.init({"params": key, "dropout": key}, x, x, train=True)
+
+
+def save_params(variables, checkpoint_dir: str) -> None:
+    """Persist a variables pytree with Orbax (the export analog of the
+    reference's ``torch.jit.trace`` + ``save``,
+    ``scripts/trace_rvs_model_for_cuda_inference.py:7-18``)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(checkpoint_dir)
+    checkpointer = ocp.StandardCheckpointer()
+    checkpointer.save(path, variables, force=True)
+    checkpointer.wait_until_finished()
+
+
+def load_params(checkpoint_dir: str, template=None):
+    """Restore a variables pytree saved by :func:`save_params`."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(checkpoint_dir)
+    checkpointer = ocp.StandardCheckpointer()
+    if template is not None:
+        return checkpointer.restore(path, template)
+    return checkpointer.restore(path)
+
+
+def load_or_init_params(model, name: str, image_shape: Tuple[int, int],
+                        checkpoint_dir: Optional[str] = None, seed: int = 0):
+    """Restore trained parameters if a checkpoint exists, else initialize.
+
+    Lookup order: explicit ``checkpoint_dir`` arg, then the default
+    ``data/checkpoints/<name>`` location.
+    """
+    from ..utils.paths import model_checkpoint_dir
+
+    candidates = [checkpoint_dir] if checkpoint_dir else []
+    candidates.append(model_checkpoint_dir(name))
+    for cand in candidates:
+        if cand and os.path.isdir(cand) and os.listdir(cand):
+            return load_params(cand)
+    return init_stereo_params(model, image_shape, seed)
+
+
+__all__ = [
+    "Deep3D", "GwcNet", "MSNet2D", "MSNet3D",
+    "GWCNET_LOSS_WEIGHTS", "MSNET_LOSS_WEIGHTS",
+    "gwcnet_loss", "msnet_loss",
+    "build_stereo_model", "init_stereo_params", "load_or_init_params",
+    "load_params", "save_params",
+    "build_concat_volume", "build_gwc_volume", "build_interlaced_volume",
+    "disparity_regression", "groupwise_correlation",
+]

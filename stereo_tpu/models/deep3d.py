@@ -1,0 +1,161 @@
+"""Deep3D — right-view synthesis network (Xie et al. 2016 lineage).
+
+Native Flax re-implementation of the reference's trainable PyTorch model
+(``pipeline/synthesis/deep3d.py:186-215``): a VGG16 encoder over the
+4x-downscaled left view, per-pool-stage deconvolution branches each
+predicting a 65-channel disparity distribution at 1/2 of the downscaled
+resolution, a fully-connected global branch (15360 -> 4096 -> 1950 ->
+(65, 3, 10) -> deconv), branch summation, a softmax upconvolution, bilinear
+x4 to full resolution, and the differentiable 65-way shifted-view blend
+producing the synthesized right view.
+
+Differences from the reference (documented, behavior-preserving):
+* torchvision's pretrained VGG16 is unavailable — the encoder is the same
+  architecture initialized fresh (He-normal), trained end-to-end;
+* the shifted-view blend never materializes the (N, 65, 3, H, W) stack
+  (``ops.weighted_shift_sum``), saving ~65x activation memory;
+* layout is NHWC internally (TPU-friendly); the public API is NCHW.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.shift_stack import weighted_shift_sum
+from .layers import nchw_to_nhwc, nhwc_to_nchw
+
+NUM_DISPARITY_CHANNELS = 65
+
+# VGG16 convolutional configuration, split at MaxPool boundaries (the
+# reference splits torchvision's vgg16.features the same way,
+# ``helpers/torch_helpers.py:47-57``).
+VGG16_BLOCKS: Tuple[Tuple[int, ...], ...] = (
+    (64, 64), (128, 128), (256, 256, 256), (512, 512, 512), (512, 512, 512))
+
+
+class VggBlock(nn.Module):
+    """N 3x3 conv+ReLU layers followed by a 2x2 max pool."""
+
+    channels: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for ch in self.channels:
+            x = nn.Conv(ch, (3, 3), padding="SAME",
+                        kernel_init=nn.initializers.he_normal())(x)
+            x = nn.relu(x)
+        return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+class DeconvBranch(nn.Module):
+    """Per-stage disparity branch (reference ``DeconvBlock``,
+    ``deep3d.py:11-30``): conv3x3 -> relu -> conv3x3 -> relu -> transposed
+    conv to 65 channels upsampling by ``scale``."""
+
+    filters: int
+    scale: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.filters, (3, 3), padding="SAME",
+                    kernel_init=nn.initializers.he_normal())(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.filters, (3, 3), padding="SAME",
+                    kernel_init=nn.initializers.he_normal())(x)
+        x = nn.relu(x)
+        if self.scale == 1:
+            return nn.Conv(NUM_DISPARITY_CHANNELS, (1, 1))(x)
+        k = 2 * self.scale
+        return nn.ConvTranspose(NUM_DISPARITY_CHANNELS, (k, k),
+                                strides=(self.scale, self.scale),
+                                padding="SAME")(x)
+
+
+class FeedForwardBranch(nn.Module):
+    """Global branch (reference ``FeedForwardBlock`` + ``disparity_deconv``,
+    ``deep3d.py:102-117,149-150``): fc 15360 -> 4096 -> dropout -> 1950,
+    reshaped to a (3, 10, 65) map and deconvolved x16."""
+
+    hidden_dim: int = 4096
+    grid: Tuple[int, int] = (3, 10)
+
+    @nn.compact
+    def __call__(self, x_nhwc, train: bool = False):
+        n = x_nhwc.shape[0]
+        x = x_nhwc.reshape(n, -1)
+        x = nn.Dense(self.hidden_dim,
+                     kernel_init=nn.initializers.normal(0.01))(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        gh, gw = self.grid
+        x = nn.Dense(gh * gw * NUM_DISPARITY_CHANNELS,
+                     kernel_init=nn.initializers.normal(0.01))(x)
+        x = x.reshape(n, gh, gw, NUM_DISPARITY_CHANNELS)
+        return nn.ConvTranspose(NUM_DISPARITY_CHANNELS, (32, 32),
+                                strides=(16, 16), padding="SAME")(x)
+
+
+class DisparityUpconvSoftmax(nn.Module):
+    """Final head (reference ``deep3d.py:85-99``): deconv x2 -> relu ->
+    conv3x3 -> softmax over the 65 disparity channels."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(NUM_DISPARITY_CHANNELS, (4, 4), strides=(2, 2),
+                             padding="SAME")(x)
+        x = nn.relu(x)
+        x = nn.Conv(NUM_DISPARITY_CHANNELS, (3, 3), padding="SAME",
+                    kernel_init=nn.initializers.he_normal())(x)
+        return nn.softmax(x, axis=-1)
+
+
+class DisparityEstimationNetwork(nn.Module):
+    """Downscaled left view -> (N, 65, H*, W*) disparity probabilities at
+    4x the downscaled resolution (reference ``deep3d.py:120-159``)."""
+
+    deconv_filters: Sequence[int] = (64, 128, 256, 512, 512)
+
+    @nn.compact
+    def __call__(self, left_down_nhwc, train: bool = False):
+        predictions = []
+        features = left_down_nhwc
+        scale = 1
+        for idx, block_channels in enumerate(VGG16_BLOCKS):
+            scale = scale if idx == 0 else scale * 2
+            features = VggBlock(block_channels)(features)
+            predictions.append(
+                DeconvBranch(self.deconv_filters[idx], scale)(features))
+        # Grid = post-VGG spatial shape; (3, 10) at the native 96x320 input,
+        # giving the reference's fc dims 15360 -> 4096 -> 1950.
+        predictions.append(FeedForwardBranch(
+            grid=(features.shape[1], features.shape[2]))(features, train))
+        summed = sum(predictions)
+        prob = DisparityUpconvSoftmax()(summed)     # (N, H/2*2, W/2*2, 65)
+        n, h, w, c = prob.shape
+        prob = jax.image.resize(prob, (n, 4 * h, 4 * w, c), method="bilinear")
+        return prob
+
+
+class Deep3D(nn.Module):
+    """Full model: ``(left_full, left_down)`` (NCHW, 0..1) -> synthesized
+    right view (NCHW, 0..1).  ``left_down`` must be 1/4 the full resolution
+    with dims divisible by 32 (the VGG stride)."""
+
+    deconv_filters: Sequence[int] = (64, 128, 256, 512, 512)
+
+    @nn.compact
+    def __call__(self, left_full_nchw, left_down_nchw, train: bool = False):
+        prob = DisparityEstimationNetwork(self.deconv_filters)(
+            nchw_to_nhwc(left_down_nchw), train)
+        prob_ndhw = jnp.transpose(prob, (0, 3, 1, 2))     # (N, 65, H, W)
+        return weighted_shift_sum(prob_ndhw, left_full_nchw)
+
+    def disparity_probabilities(self, left_down_nchw, train: bool = False):
+        """Expose the softmax disparity volume (for visualization)."""
+        prob = DisparityEstimationNetwork(self.deconv_filters)(
+            nchw_to_nhwc(left_down_nchw), train)
+        return jnp.transpose(prob, (0, 3, 1, 2))

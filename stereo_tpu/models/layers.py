@@ -1,0 +1,184 @@
+"""Shared Flax building blocks for the stereo model families.
+
+Conventions (TPU-idiomatic):
+* feature maps are NHWC, cost volumes are NDHWC — channels-last feeds the
+  MXU/VPU tiling directly (the public API converts from the pipeline's CHW);
+* BatchNorm state lives in the ``batch_stats`` collection (train loops pass
+  ``mutable=["batch_stats"]``);
+* all 2-D/3-D convolutions are ``flax.linen.Conv``/``ConvTranspose`` so XLA
+  lowers them onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def nchw_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def nhwc_to_nchw(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+class ConvBnAct(nn.Module):
+    """Conv -> BatchNorm -> optional ReLU (2-D or 3-D by kernel rank)."""
+
+    features: int
+    kernel: Sequence[int] = (3, 3)
+    strides: Sequence[int] | int = 1
+    dilation: Sequence[int] | int = 1
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        strides = ([self.strides] * len(self.kernel)
+                   if isinstance(self.strides, int) else self.strides)
+        dilation = ([self.dilation] * len(self.kernel)
+                    if isinstance(self.dilation, int) else self.dilation)
+        x = nn.Conv(self.features, tuple(self.kernel), strides=tuple(strides),
+                    kernel_dilation=tuple(dilation), padding="SAME",
+                    use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+class BasicResBlock(nn.Module):
+    """Two 3x3 conv-bn layers with an identity/projected skip (the GwcNet
+    feature-extractor residual unit; Guo et al. 2019 §3.1)."""
+
+    features: int
+    strides: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = ConvBnAct(self.features, (3, 3), self.strides,
+                        self.dilation)(x, train)
+        out = ConvBnAct(self.features, (3, 3), 1, self.dilation,
+                        act=False)(out, train)
+        if identity.shape != out.shape:
+            identity = nn.Conv(self.features, (1, 1),
+                               strides=(self.strides, self.strides),
+                               use_bias=False)(identity)
+            identity = nn.BatchNorm(use_running_average=not train)(identity)
+        return nn.relu(out + identity)
+
+
+class SeparableConvBn2D(nn.Module):
+    """Depthwise 3x3 + pointwise 1x1 (MobileStereoNet's 2-D separable conv,
+    Shamsafar et al. 2022 §3)."""
+
+    features: int
+    strides: int = 1
+    dilation: int = 1
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        x = nn.Conv(in_ch, (3, 3), strides=(self.strides, self.strides),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    feature_group_count=in_ch, padding="SAME",
+                    use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+class MobileV2Block2D(nn.Module):
+    """Inverted-residual bottleneck (MobileNetV2): expand 1x1 -> depthwise
+    3x3 -> project 1x1, residual when stride 1 and shapes match."""
+
+    features: int
+    strides: int = 1
+    expansion: int = 2
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        hidden = in_ch * self.expansion
+        out = nn.Conv(hidden, (1, 1), use_bias=False)(x)
+        out = nn.BatchNorm(use_running_average=not train)(out)
+        out = nn.relu6(out)
+        out = nn.Conv(hidden, (3, 3), strides=(self.strides, self.strides),
+                      kernel_dilation=(self.dilation, self.dilation),
+                      feature_group_count=hidden, padding="SAME",
+                      use_bias=False)(out)
+        out = nn.BatchNorm(use_running_average=not train)(out)
+        out = nn.relu6(out)
+        out = nn.Conv(self.features, (1, 1), use_bias=False)(out)
+        out = nn.BatchNorm(use_running_average=not train)(out)
+        if self.strides == 1 and in_ch == self.features:
+            out = out + x
+        return out
+
+
+class MobileV2Block3D(nn.Module):
+    """3-D inverted-residual bottleneck over (D, H, W) volumes — the
+    depthwise-separable 3-D conv unit of MSNet3D."""
+
+    features: int
+    strides: Sequence[int] | int = 1
+    expansion: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        strides = ((self.strides,) * 3 if isinstance(self.strides, int)
+                   else tuple(self.strides))
+        in_ch = x.shape[-1]
+        hidden = in_ch * self.expansion
+        out = nn.Conv(hidden, (1, 1, 1), use_bias=False)(x)
+        out = nn.BatchNorm(use_running_average=not train)(out)
+        out = nn.relu6(out)
+        out = nn.Conv(hidden, (3, 3, 3), strides=strides,
+                      feature_group_count=hidden, padding="SAME",
+                      use_bias=False)(out)
+        out = nn.BatchNorm(use_running_average=not train)(out)
+        out = nn.relu6(out)
+        out = nn.Conv(self.features, (1, 1, 1), use_bias=False)(out)
+        out = nn.BatchNorm(use_running_average=not train)(out)
+        if strides == (1, 1, 1) and in_ch == self.features:
+            out = out + x
+        return out
+
+
+class DeconvBn(nn.Module):
+    """Transposed conv (x2 upsampling) + BN, 2-D or 3-D by kernel rank."""
+
+    features: int
+    kernel: Sequence[int] = (4, 4)
+    strides: Sequence[int] = (2, 2)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(self.features, tuple(self.kernel),
+                             strides=tuple(self.strides), padding="SAME",
+                             use_bias=False)(x)
+        return nn.BatchNorm(use_running_average=not train)(x)
+
+
+def upsample_bilinear(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Bilinear x``scale`` upsampling of NHWC feature maps."""
+    n, h, w, c = x.shape
+    import jax
+    return jax.image.resize(x, (n, h * scale, w * scale, c), method="bilinear")
+
+
+def upsample_trilinear(x: jnp.ndarray, shape: Tuple[int, int, int]) -> jnp.ndarray:
+    """Trilinear resize of an NDHWC volume to (D', H', W')."""
+    import jax
+    n, _, _, _, c = x.shape
+    return jax.image.resize(x, (n, *shape, c), method="trilinear")

@@ -42,7 +42,11 @@ def disparity_shift_stack(left_nchw: jnp.ndarray, min_disparity: int,
 
 def weighted_shift_sum(weights_ndhw: jnp.ndarray, view_nchw: jnp.ndarray) -> jnp.ndarray:
     """Deep3D view synthesis (``deep3d.py:162-183``): sum over d of
-    ``weights[:, d] * shift(view, -d)`` without materializing the stack.
+    ``weights[:, d] * left_shift(view, d)`` without materializing the stack.
+
+    Disparity moves content *left* when synthesizing the right view from the
+    left (reference ``deep3d.py:177-180``: ``shifted[..., :-d] =
+    view[..., d:]``).
 
     ``weights``: (N, D, H, W) softmax disparity probabilities.
     ``view``:    (N, C, H, W).  Returns (N, C, H, W).
@@ -50,5 +54,5 @@ def weighted_shift_sum(weights_ndhw: jnp.ndarray, view_nchw: jnp.ndarray) -> jnp
     num_d = weights_ndhw.shape[1]
     out = jnp.zeros_like(view_nchw)
     for d in range(num_d):
-        out = out + weights_ndhw[:, d][:, None] * _shift_cols(view_nchw, -d)
+        out = out + weights_ndhw[:, d][:, None] * _shift_cols(view_nchw, d)
     return out

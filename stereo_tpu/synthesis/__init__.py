@@ -1,0 +1,3 @@
+from .right_view_synthesis import RightViewSynthesis
+
+__all__ = ["RightViewSynthesis"]

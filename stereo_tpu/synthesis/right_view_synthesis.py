@@ -1,0 +1,98 @@
+"""Right-view synthesis: Deep3D inference wrapper.
+
+Parity with the reference's ``pipeline/synthesis/right_view_synthesis.py``:
+resizes any input to the model's native 384x1280 full / 96x320 downscaled
+resolution, scales to 0..1, runs Deep3D, rescales to 0..255
+(``csrc/synthesis/kernels/rescale_generated_view.cu:17-18`` semantics via
+``ops.rescale_generated_view``), and warms up at construction
+(``right_view_synthesis.py:34-40`` — here warmup == jit compilation).
+
+The whole path — resize, normalize, Deep3D forward, 65-way blend, rescale,
+resize back — is ONE jitted XLA graph (the reference splits it across
+Python, TorchScript, and a custom CUDA kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import Deep3D
+from ..ops.imageops import rescale_generated_view
+from ..utils.paths import DEEP3D_CHECKPOINT_DIR
+
+# Native Deep3D operating resolution (reference ``right_view_synthesis.py:27-31``).
+RVS_FULL_SHAPE = (384, 1280)
+RVS_DOWNSCALED_SHAPE = (96, 320)
+
+
+def _resize_chw(image, shape_hw):
+    c = image.shape[-3]
+    batch = image.shape[:-3]
+    return jax.image.resize(image, (*batch, c, *shape_hw), method="bilinear")
+
+
+def synthesize_batch(model: Deep3D, variables, left_nchw: jnp.ndarray,
+                     output_shape: Tuple[int, int],
+                     full_shape: Tuple[int, int] = RVS_FULL_SHAPE,
+                     down_shape: Tuple[int, int] = RVS_DOWNSCALED_SHAPE) -> jnp.ndarray:
+    """(N, 3, H, W) 0..255 left views -> (N, 3, *output_shape) 0..255
+    synthesized right views.  Pure function; jitted by the wrapper."""
+    full = _resize_chw(left_nchw, full_shape) / 255.0
+    down = _resize_chw(left_nchw, down_shape) / 255.0
+    right = model.apply(variables, full, down, train=False)
+    right = rescale_generated_view(right)
+    if tuple(output_shape) != tuple(full_shape):
+        right = _resize_chw(right, output_shape)
+    return right
+
+
+class RightViewSynthesis:
+    """Stateful wrapper owning the Deep3D variables and the jitted graph."""
+
+    def __init__(self, output_shape: Tuple[int, int] = RVS_FULL_SHAPE,
+                 variables=None, checkpoint_dir: Optional[str] = None,
+                 warmup: bool = False,
+                 model_full_shape: Tuple[int, int] = RVS_FULL_SHAPE,
+                 model_down_shape: Tuple[int, int] = RVS_DOWNSCALED_SHAPE):
+        self.model = Deep3D()
+        self.output_shape = tuple(output_shape)
+        self.model_full_shape = tuple(model_full_shape)
+        self.model_down_shape = tuple(model_down_shape)
+        if variables is None:
+            variables = self._load_or_init(checkpoint_dir)
+        self.variables = variables
+        self._fn = jax.jit(functools.partial(
+            synthesize_batch, self.model, output_shape=self.output_shape,
+            full_shape=self.model_full_shape,
+            down_shape=self.model_down_shape))
+        if warmup:
+            self.warmup()
+
+    def process(self, left_image) -> jax.Array:
+        """(3, H, W) 0..255 -> (3, *output_shape) 0..255."""
+        left = jnp.asarray(left_image, jnp.float32)
+        return self._fn(self.variables, left[None])[0]
+
+    def process_batch(self, left_batch) -> jax.Array:
+        return self._fn(self.variables, jnp.asarray(left_batch, jnp.float32))
+
+    def warmup(self) -> None:
+        x = jnp.zeros((1, 3, 64, 64), jnp.float32)
+        jax.block_until_ready(self._fn(self.variables, x))
+
+    def _load_or_init(self, checkpoint_dir: Optional[str]):
+        from ..models import load_params
+
+        for cand in (checkpoint_dir, DEEP3D_CHECKPOINT_DIR):
+            if cand and os.path.isdir(cand) and os.listdir(cand):
+                return load_params(cand)
+        # Fresh (untrained) parameters — valid for shape/perf tests; the
+        # trainer produces real ones (``stereo_tpu/train``).
+        down = jnp.zeros((1, 3, *self.model_down_shape), jnp.float32)
+        full = jnp.zeros((1, 3, *self.model_full_shape), jnp.float32)
+        return self.model.init(jax.random.PRNGKey(0), full, down, train=False)

@@ -1,0 +1,148 @@
+"""Model-family tests: shapes, jit-compilability, gradient flow.
+
+Small image sizes and shrunken feature extractors keep the CPU suite fast;
+architecture fidelity (channel widths, volume shapes) is asserted where the
+papers fix them.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereo_tpu.models import (Deep3D, GwcNet, MSNet2D, MSNet3D,
+                               build_gwc_volume, build_concat_volume,
+                               build_interlaced_volume, build_stereo_model,
+                               disparity_regression, groupwise_correlation,
+                               gwcnet_loss, msnet_loss)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def rand(*shape):
+    return jax.random.normal(jax.random.PRNGKey(1), shape, jnp.float32)
+
+
+class TestCostVolumes:
+    def test_groupwise_correlation(self):
+        fa, fb = rand(1, 4, 6, 8), rand(1, 4, 6, 8)
+        got = groupwise_correlation(fa, fb, 2)
+        assert got.shape == (1, 4, 6, 2)
+        want = np.asarray((fa * fb)).reshape(1, 4, 6, 2, 4).mean(-1)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+    def test_gwc_volume_shape_and_shift(self):
+        fl, fr = rand(1, 4, 8, 8), rand(1, 4, 8, 8)
+        vol = build_gwc_volume(fl, fr, 3, 2)
+        assert vol.shape == (1, 3, 4, 8, 2)
+        # disparity 0 plane == plain correlation
+        np.testing.assert_allclose(np.asarray(vol[:, 0]),
+                                   np.asarray(groupwise_correlation(fl, fr, 2)),
+                                   rtol=1e-5)
+        # invalid (out-of-frame) columns are zero
+        assert np.all(np.asarray(vol[:, 2, :, :2, :]) == 0)
+
+    def test_concat_volume(self):
+        fl, fr = rand(1, 4, 8, 3), rand(1, 4, 8, 3)
+        vol = build_concat_volume(fl, fr, 2)
+        assert vol.shape == (1, 2, 4, 8, 6)
+        np.testing.assert_allclose(np.asarray(vol[:, 0, :, :, :3]),
+                                   np.asarray(fl))
+        # at disparity 1, left features occupy columns 1.. and match
+        np.testing.assert_allclose(np.asarray(vol[:, 1, :, 1:, :3]),
+                                   np.asarray(fl[:, :, 1:, :]))
+
+    def test_interlaced_volume(self):
+        fl, fr = rand(1, 4, 8, 3), rand(1, 4, 8, 3)
+        vol = build_interlaced_volume(fl, fr, 2)
+        assert vol.shape == (1, 4, 8, 2 * 2 * 3)
+        # channel interleave at d=0: [L0, R0, L1, R1, ...]
+        np.testing.assert_allclose(np.asarray(vol[..., 0]),
+                                   np.asarray(fl[..., 0]))
+        np.testing.assert_allclose(np.asarray(vol[..., 1]),
+                                   np.asarray(fr[..., 0]))
+
+    def test_disparity_regression(self):
+        logits = jnp.zeros((1, 4, 2, 2)).at[:, 3].set(100.0)
+        prob = jax.nn.softmax(logits, axis=1)
+        out = disparity_regression(prob, 4)
+        np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-4)
+
+
+class TestGwcNet:
+    @pytest.fixture(scope="class")
+    def model_and_vars(self):
+        model = GwcNet(max_disparity=16, num_groups=8, layer2_blocks=2)
+        x = jnp.zeros((1, 3, 32, 64), jnp.float32)
+        variables = model.init(KEY, x, x, train=True)
+        return model, variables
+
+    def test_inference_shape(self, model_and_vars):
+        model, variables = model_and_vars
+        x = rand(1, 3, 32, 64)
+        out = jax.jit(lambda v, a, b: model.apply(v, a, b, train=False))(
+            variables, x, x)
+        assert out.shape == (1, 32, 64)
+        assert np.all(np.isfinite(np.asarray(out)))
+        assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 16)
+
+    def test_train_outputs_and_loss_grad(self, model_and_vars):
+        model, variables = model_and_vars
+        x = rand(1, 3, 32, 64)
+        gt = jnp.full((1, 32, 64), 4.0)
+        mask = jnp.ones_like(gt, bool)
+
+        def loss_fn(params):
+            outs, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, x, train=True, mutable=["batch_stats"])
+            assert len(outs) == 4
+            return gwcnet_loss(outs, gt, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        assert np.isfinite(float(loss))
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+class TestMSNet:
+    @pytest.mark.parametrize("cls", [MSNet2D, MSNet3D])
+    def test_inference_shape(self, cls):
+        model = cls(max_disparity=16)
+        x = jnp.zeros((1, 3, 32, 64), jnp.float32)
+        variables = model.init(KEY, x, x, train=False)
+        out = model.apply(variables, rand(1, 3, 32, 64), rand(1, 3, 32, 64),
+                          train=False)
+        assert out.shape == (1, 32, 64)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_train_outputs(self):
+        model = MSNet2D(max_disparity=16)
+        x = jnp.zeros((1, 3, 32, 64), jnp.float32)
+        variables = model.init(KEY, x, x, train=True)
+        outs, _ = model.apply(variables, x, x, train=True,
+                              mutable=["batch_stats"])
+        assert len(outs) == 3
+        gt = jnp.full((1, 32, 64), 2.0)
+        loss = msnet_loss(outs, gt, jnp.ones_like(gt, bool))
+        assert np.isfinite(float(loss))
+
+
+class TestDeep3D:
+    def test_synthesis_shapes_and_blend(self):
+        model = Deep3D()
+        full = jnp.zeros((1, 3, 128, 256), jnp.float32)
+        down = jnp.zeros((1, 3, 32, 64), jnp.float32)
+        variables = model.init(KEY, full, down, train=False)
+        left = jax.random.uniform(KEY, (1, 3, 128, 256))
+        out = model.apply(variables, left, down, train=False)
+        assert out.shape == (1, 3, 128, 256)
+        # softmax blend of shifted copies: output within input value range
+        assert float(out.max()) <= float(left.max()) + 1e-5
+        assert float(out.min()) >= 0.0
+
+    def test_registry(self):
+        with pytest.raises(RuntimeError):
+            build_stereo_model("nope")
+        m = build_stereo_model("gwcnet", max_disparity=32)
+        assert isinstance(m, GwcNet) and m.max_disparity == 32
