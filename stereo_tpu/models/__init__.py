@@ -43,9 +43,15 @@ def init_stereo_params(model, image_shape: Tuple[int, int], seed: int = 0):
 
     Initializes in train mode so the auxiliary-output heads exist — the
     variables then serve both training and inference applies.
+
+    The stereo networks are fully convolutional, so parameters are
+    image-shape independent; tracing at a small /32-divisible shape keeps
+    init cheap regardless of the serving resolution.  Width must still
+    exceed the disparity range so the cost-volume shifts stay non-empty.
     """
-    h, w = image_shape
-    x = jnp.zeros((1, 3, h, w), jnp.float32)
+    del image_shape
+    width = max(128, -(-int(getattr(model, "max_disparity", 64)) // 32) * 32)
+    x = jnp.zeros((1, 3, 64, width), jnp.float32)
     key = jax.random.PRNGKey(seed)
     return model.init({"params": key, "dropout": key}, x, x, train=True)
 

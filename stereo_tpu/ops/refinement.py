@@ -73,14 +73,16 @@ def sampled_sad_volume(left: jnp.ndarray, right: jnp.ndarray, k: int,
     """
     area = (2 * patch_radius + 1) ** 2
 
-    def one_disparity(t):
+    # Unrolled static loop: lax.map would serialize into one launch per
+    # plane (launch overhead dominated the whole pipeline); unrolled, XLA
+    # fuses the roll/diff/colsum chain across planes.
+    planes = []
+    for t in range(num_d):
         diff = jnp.abs(left - jnp.roll(right, d_start + t, axis=-1))
         cols = box_sum_1d(diff, patch_radius, axis=-1)[..., ::k]
         rows = box_sum_1d(cols, patch_radius, axis=-2)[..., ::k, :]
-        return area * MAX_INTENSITY - rows
-
-    planes = lax.map(one_disparity, jnp.arange(num_d))
-    return jnp.moveaxis(planes, 0, -1)
+        planes.append(area * MAX_INTENSITY - rows)
+    return jnp.stack(planes, axis=-1)
 
 
 def secondary_matching(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
@@ -109,8 +111,29 @@ def secondary_matching(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
     starts = (k * d_idx)[..., None] + jnp.arange(win)[None, None, :]
     window = jnp.take_along_axis(sampled_sad, starts, axis=-1)
 
+    # MBM parabola neighbours from the aggregated volume (mod-D indexing; see
+    # module docstring for the min_disparity > 0 deviation).
+    def mbm_cost(j):
+        idx = jnp.mod(d_idx + j, num_dd)
+        return jnp.take_along_axis(aggregated_volume, idx[..., None], axis=-1)[..., 0]
+
+    return refine_from_window(window, disparity, mbm_cost(-1), mbm_cost(0),
+                              mbm_cost(1), k)
+
+
+def refine_from_window(window: jnp.ndarray, disparity: jnp.ndarray,
+                       mbm_prev: jnp.ndarray, mbm_center: jnp.ndarray,
+                       mbm_next: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Core combine rule given each pixel's dense-SAD ``window`` (the 2k+3
+    taps around ``k*(d_mbm-1)-1``) and its three MBM parabola costs.
+
+    Split out so the disparity-sharded engine can assemble the window and
+    MBM costs with cross-chip collectives and reuse the identical math
+    (``secondary_matching.cu:45-70``).
+    """
     # Scan slots 1..2k+1 (disparities k*(d_mbm-1) .. k*(d_mbm+1)); first max.
     scan = window[..., 1:-1]
+    d_mbm = disparity.astype(jnp.int32)
     best_slot = jnp.argmax(scan, axis=-1)
     c_sad = jnp.take_along_axis(scan, best_slot[..., None], axis=-1)[..., 0]
     d_sad = k * (d_mbm - 1) + best_slot
@@ -120,17 +143,11 @@ def secondary_matching(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
     y_sad_next = jnp.take_along_axis(window, (best_slot + 2)[..., None], axis=-1)[..., 0]
     y_sad_prev = jnp.take_along_axis(window, best_slot[..., None], axis=-1)[..., 0]
 
-    # MBM parabola neighbours from the aggregated volume (mod-D indexing; see
-    # module docstring for the min_disparity > 0 deviation).
-    def mbm_cost(j):
-        idx = jnp.mod(d_idx + j, num_dd)
-        return jnp.take_along_axis(aggregated_volume, idx[..., None], axis=-1)[..., 0]
-
     fd = disparity  # float d_mbm (WTA output is integral)
     d_sad_f = d_sad.astype(fd.dtype)
-    peak_mbm = quadratic_function_peak(fd, mbm_cost(0),
-                                       fd + 1.0, mbm_cost(1),
-                                       fd - 1.0, mbm_cost(-1))
+    peak_mbm = quadratic_function_peak(fd, mbm_center,
+                                       fd + 1.0, mbm_next,
+                                       fd - 1.0, mbm_prev)
     peak_sad = quadratic_function_peak(d_sad_f, c_sad,
                                        d_sad_f + 1.0, y_sad_next,
                                        d_sad_f - 1.0, y_sad_prev)

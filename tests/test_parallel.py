@@ -1,0 +1,71 @@
+"""Distributed-engine tests on the virtual 8-device CPU mesh.
+
+The contract is exact equivalence with the single-device engine: the halo
+exchange, blockwise cost volume, cross-chip argmax, and psum-gathered
+refinement must not change a single output value.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereo_tpu.core.config import MatchingConfig, MeshConfig
+from stereo_tpu.matching.classical import ClassicalStereoEngine
+from stereo_tpu.parallel import ShardedClassicalEngine, make_mesh
+
+RNG = np.random.default_rng(11)
+
+CFG = MatchingConfig(height=32, width=64, downscale_factor=2,
+                     min_disparity=0, max_disparity=15, cost_patch_radius=1,
+                     sad_patch_radius=2, threshold=5, small_mbm_radius=1,
+                     mid_mbm_radius=1, large_mbm_radius=2)
+
+
+def batch(n=2):
+    left = RNG.integers(0, 256, (n, 3, CFG.height, CFG.width)).astype(np.float32)
+    right = np.roll(left, -5, axis=-1).astype(np.float32)
+    return left, right
+
+
+@pytest.fixture(scope="module")
+def reference_disparity():
+    left, right = batch(2)
+    engine = ClassicalStereoEngine(CFG)
+    return left, right, np.asarray(engine.compute_disparity_maps(left, right))
+
+
+class TestMesh:
+    def test_make_mesh_shape(self):
+        mesh = make_mesh(MeshConfig(data=2, tile=2, disp=2))
+        assert mesh.devices.shape == (2, 2, 2)
+        assert mesh.axis_names == ("data", "tile", "disp")
+
+    def test_too_many_devices(self):
+        with pytest.raises(RuntimeError):
+            make_mesh(MeshConfig(data=16, tile=1, disp=1))
+
+
+class TestShardedEquivalence:
+    @pytest.mark.parametrize("mesh_cfg", [
+        MeshConfig(data=1, tile=1, disp=1),
+        MeshConfig(data=2, tile=1, disp=1),
+        MeshConfig(data=1, tile=4, disp=1),
+        MeshConfig(data=1, tile=1, disp=4),
+        MeshConfig(data=2, tile=2, disp=2),
+    ], ids=["single", "dp2", "tile4", "disp4", "dp2tile2disp2"])
+    def test_matches_single_device(self, mesh_cfg, reference_disparity):
+        left, right, want = reference_disparity
+        engine = ShardedClassicalEngine(CFG, mesh_cfg)
+        got = np.asarray(engine.compute_disparity_maps(left, right))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            ShardedClassicalEngine(CFG, MeshConfig(tile=5))  # 16 % (2*5) != 0
+        with pytest.raises(ValueError):
+            ShardedClassicalEngine(CFG, MeshConfig(disp=3))  # 8 % 3 != 0
+        engine = ShardedClassicalEngine(CFG, MeshConfig(data=2))
+        with pytest.raises(ValueError):
+            engine.compute_disparity_maps(
+                np.zeros((3, 3, 32, 64)), np.zeros((3, 3, 32, 64)))
