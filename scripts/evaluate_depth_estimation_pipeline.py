@@ -1,0 +1,66 @@
+"""Evaluate every backend x RVS combination over KITTI drives.
+
+Parity with the reference's ``scripts/evaluate_depth_estimation_pipeline.py``
+(``:16-70``): grid over drives x {RVS on/off} x backends, the six metrics
+(D1, Threshold_1/2/3/5, MAE) against Velodyne ground truth, JSON dump to a
+timestamped file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from stereo_tpu.pipeline import (DepthEstimationPipeline,
+                                 extract_config_from_camera,
+                                 run_depth_estimation_pipeline_evaluation)
+from stereo_tpu.pipeline.camera import KittiSingleViewCamera
+from stereo_tpu.pipeline.metrics import default_metrics
+from stereo_tpu.utils.paths import timestamp_folder_name
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--drive-dirs", nargs="+", required=True)
+    parser.add_argument("--backends", nargs="+",
+                        default=["classical", "gwcnet", "msnet3d"])
+    parser.add_argument("--rvs", nargs="+", default=["off", "on"],
+                        choices=["off", "on"],
+                        help="evaluate with the real right view (off) and/or "
+                             "the synthesized one (on)")
+    parser.add_argument("--output-dir", default="results/evaluation")
+    parser.add_argument("--only-one", action="store_true",
+                        help="one frame per drive (smoke run)")
+    args = parser.parse_args()
+
+    results = {}
+    for drive in args.drive_dirs:
+        drive_key = os.path.basename(os.path.normpath(drive))
+        for rvs in args.rvs:
+            for backend in args.backends:
+                camera = KittiSingleViewCamera(
+                    drive, return_right_view=(rvs == "off"),
+                    only_one=args.only_one)
+                config = extract_config_from_camera(camera).update(
+                    stereo_matching_backend=backend)
+                pipeline = DepthEstimationPipeline(config)
+                key = f"{drive_key}/rvs_{rvs}/{backend}"
+                print(f"=== {key}")
+                results[key] = run_depth_estimation_pipeline_evaluation(
+                    camera, pipeline, default_metrics())
+                print(json.dumps(results[key], indent=2))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_path = os.path.join(args.output_dir,
+                            f"evaluation_{timestamp_folder_name()}.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"Wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

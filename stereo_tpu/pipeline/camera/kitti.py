@@ -75,6 +75,12 @@ class KittiSingleViewCamera(EvaluationCamera):
                 break
 
     def _load_view(self, path: str) -> np.ndarray:
+        from ... import _native
+
+        # Native single-pass decode+pad (falls back to PIL + np.pad).
+        arr = _native.decode_png_padded_chw(path, pad=KITTI_PAD)
+        if arr is not None:
+            return arr
         return pad_image(read_image_chw(path), *KITTI_PAD)
 
     def _load_gt_disparity(self, left_image_path: str) -> np.ndarray:

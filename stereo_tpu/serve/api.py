@@ -1,0 +1,169 @@
+"""REST serving: single-view depth estimation over HTTP.
+
+Parity with the reference's FastAPI app (``python/api.py``): ``POST /``
+accepts a PNG upload (multipart ``file`` field or raw body), resizes it to
+the pipeline's configured shape, runs the full single-view pipeline
+(right-view synthesis + stereo matching), and streams the disparity map
+back as a PNG (``api.py:25-31``).
+
+FastAPI isn't in this image, so the default server is a dependency-free
+``http.server`` implementation with the same contract; ``create_fastapi_app``
+returns the FastAPI variant when the package is available.  Either way the
+pipeline underneath is the jitted (optionally mesh-sharded) TPU engine — the
+serving thread only does PNG codec work and host<->device transfer.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+from PIL import Image
+
+from ..core.config import PipelineConfig
+from ..pipeline.depth_pipeline import DepthEstimationPipeline
+
+
+def decode_png_to_pipeline_image(data: bytes, image_shape) -> np.ndarray:
+    """PNG bytes -> (3, H, W) float32 resized to the pipeline shape
+    (parity: ``api.py:17-22``)."""
+    with Image.open(io.BytesIO(data)) as im:
+        im = im.convert("RGB").resize((image_shape[1], image_shape[0]),
+                                      Image.BILINEAR)
+        arr = np.asarray(im, dtype=np.float32)
+    return np.ascontiguousarray(arr.transpose(2, 0, 1))
+
+
+def encode_disparity_png(disparity_hw: np.ndarray) -> bytes:
+    """(H, W) float disparity -> 8-bit PNG bytes (values clipped 0..255,
+    matching the reference's uint8 encode of raw disparities)."""
+    arr = np.clip(np.round(np.asarray(disparity_hw)), 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _extract_multipart_file(body: bytes, content_type: str) -> Optional[bytes]:
+    """Minimal multipart/form-data parser: returns the first file part."""
+    match = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not match:
+        return None
+    boundary = b"--" + match.group(1).encode()
+    for part in body.split(boundary):
+        header_end = part.find(b"\r\n\r\n")
+        if header_end < 0 or b"filename=" not in part[:header_end]:
+            continue
+        return part[header_end + 4:].rstrip(b"\r\n-")
+    return None
+
+
+class DepthEstimationServer:
+    """Owns the pipeline singleton and the HTTP server."""
+
+    def __init__(self, config: PipelineConfig = PipelineConfig(),
+                 pipeline: Optional[DepthEstimationPipeline] = None):
+        self.config = config
+        self.pipeline = pipeline or DepthEstimationPipeline(config)
+        self._lock = threading.Lock()
+
+    def run_pipeline(self, png_bytes: bytes) -> bytes:
+        left = decode_png_to_pipeline_image(png_bytes, self.config.image_shape)
+        with self._lock:   # one jitted engine; requests serialize on-device
+            result = self.pipeline.process(left, None)
+        return encode_disparity_png(np.asarray(result.disparity_map))
+
+    def make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(length)
+                    ctype = self.headers.get("Content-Type", "")
+                    if ctype.startswith("multipart/form-data"):
+                        payload = _extract_multipart_file(body, ctype)
+                        if payload is None:
+                            raise ValueError("no file field in upload")
+                    else:
+                        payload = body
+                    png = server.run_pipeline(payload)
+                except Exception as exc:  # noqa: BLE001 — report to client
+                    msg = json.dumps({"error": str(exc)}).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(msg)))
+                    self.end_headers()
+                    self.wfile.write(msg)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.end_headers()
+                self.wfile.write(png)
+
+            def do_GET(self):
+                info = json.dumps({
+                    "backend": server.config.stereo_matching_backend,
+                    "image_shape": list(server.config.image_shape),
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(info)))
+                self.end_headers()
+                self.wfile.write(info)
+
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+        return Handler
+
+    def serve(self, host: str = "localhost", port: int = 8080) -> None:
+        httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        print(f"Serving depth estimation on http://{host}:{port}")
+        httpd.serve_forever()
+
+
+def create_fastapi_app(config: PipelineConfig = PipelineConfig()):
+    """FastAPI variant (exact reference parity) when fastapi is installed."""
+    from fastapi import FastAPI, UploadFile
+    from fastapi.responses import StreamingResponse
+
+    server = DepthEstimationServer(config)
+    app = FastAPI()
+
+    @app.post("/")
+    async def run_pipeline(file: UploadFile):
+        png = server.run_pipeline(await file.read())
+        return StreamingResponse(io.BytesIO(png), media_type="image/png")
+
+    return app
+
+
+def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Depth estimation REST API")
+    parser.add_argument("--host", default="localhost")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--backend", default="classical",
+                        choices=["classical", "gwcnet", "msnet2d", "msnet3d"])
+    parser.add_argument("--height", type=int, default=384)
+    parser.add_argument("--width", type=int, default=1280)
+    parser.add_argument("--max-disparity", type=int, default=64)
+    args = parser.parse_args()
+
+    config = PipelineConfig(image_shape=(args.height, args.width),
+                            min_disparity=0,
+                            max_disparity=args.max_disparity,
+                            stereo_matching_backend=args.backend)
+    DepthEstimationServer(config).serve(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

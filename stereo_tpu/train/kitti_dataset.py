@@ -28,7 +28,13 @@ Item = Tuple[np.ndarray, np.ndarray, np.ndarray]
 
 
 def _read_resized(path: str, shape_hw) -> np.ndarray:
-    """Decode + bilinear-resize to (3, H, W) float32 0..255."""
+    """Decode + bilinear-resize to (3, H, W) float32 0..255 (native decode +
+    antialiased resize when available, PIL otherwise)."""
+    from .. import _native
+
+    arr = _native.decode_png_padded_chw(path)
+    if arr is not None:
+        return _native.resize_bilinear_chw(arr, shape_hw[0], shape_hw[1])
     with Image.open(path) as im:
         im = im.convert("RGB").resize((shape_hw[1], shape_hw[0]),
                                       Image.BILINEAR)
@@ -37,9 +43,9 @@ def _read_resized(path: str, shape_hw) -> np.ndarray:
 
 
 def _read_chw(path: str) -> np.ndarray:
-    with Image.open(path) as im:
-        arr = np.asarray(im.convert("RGB"), dtype=np.float32)
-    return np.ascontiguousarray(arr.transpose(2, 0, 1))
+    from ..utils.image_io import read_image_chw
+
+    return read_image_chw(path)
 
 
 class KittiStereoDataset:

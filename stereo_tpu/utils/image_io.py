@@ -17,7 +17,17 @@ ImageLike = Union[np.ndarray, "object"]  # ndarray or anything np.asarray-able
 
 
 def read_image_chw(path: str) -> np.ndarray:
-    """Decode an image file to (3, H, W) float32 in 0..255."""
+    """Decode an image file to (3, H, W) float32 in 0..255.
+
+    Uses the native zlib decoder (``stereo_tpu._native``) when it supports
+    the file (8-bit non-interlaced PNG); PIL otherwise.
+    """
+    if path.lower().endswith(".png"):
+        from .. import _native
+
+        arr = _native.decode_png_padded_chw(path)
+        if arr is not None:
+            return arr
     with Image.open(path) as im:
         arr = np.asarray(im.convert("RGB"), dtype=np.float32)
     return np.ascontiguousarray(arr.transpose(2, 0, 1))

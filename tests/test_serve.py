@@ -1,0 +1,99 @@
+"""REST serving tests: stdlib server round trip with the classical backend."""
+
+import io
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from stereo_tpu.core.config import MatchingConfig, PipelineConfig
+from stereo_tpu.serve import (DepthEstimationServer,
+                              decode_png_to_pipeline_image,
+                              encode_disparity_png)
+
+TINY = MatchingConfig(height=16, width=32, downscale_factor=2,
+                      min_disparity=0, max_disparity=8, cost_patch_radius=1,
+                      sad_patch_radius=1, threshold=5, small_mbm_radius=1,
+                      mid_mbm_radius=1, large_mbm_radius=2)
+
+
+def _png_bytes(h, w):
+    arr = np.random.default_rng(0).integers(0, 256, (h, w, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class TestCodecs:
+    def test_decode_resizes(self):
+        img = decode_png_to_pipeline_image(_png_bytes(10, 20), (16, 32))
+        assert img.shape == (3, 16, 32)
+
+    def test_encode_roundtrip(self):
+        disp = np.linspace(0, 64, 16 * 32, dtype=np.float32).reshape(16, 32)
+        png = encode_disparity_png(disp)
+        back = np.asarray(Image.open(io.BytesIO(png)))
+        np.testing.assert_array_equal(back, np.round(disp).astype(np.uint8))
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    """A live server on an ephemeral port, stereo backend only (the RVS path
+    needs Deep3D weights; the serving contract is identical)."""
+
+    class StereoOnlyServer(DepthEstimationServer):
+        def run_pipeline(self, png_bytes):
+            left = decode_png_to_pipeline_image(png_bytes,
+                                                self.config.image_shape)
+            right = np.roll(left, -2, axis=-1)
+            result = self.pipeline.process(left, right)
+            return encode_disparity_png(np.asarray(result.disparity_map))
+
+    config = PipelineConfig(image_shape=(16, 32), min_disparity=0,
+                            max_disparity=8, matching=TINY,
+                            stereo_matching_backend="classical")
+    server = StereoOnlyServer(config)
+    httpd = ThreadingHTTPServer(("localhost", 0), server.make_handler())
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://localhost:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+class TestServer:
+    def test_get_info(self, server_url):
+        with urllib.request.urlopen(server_url) as resp:
+            assert b"classical" in resp.read()
+
+    def test_post_raw_png(self, server_url):
+        req = urllib.request.Request(server_url, data=_png_bytes(16, 32),
+                                     method="POST")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.headers["Content-Type"] == "image/png"
+            out = np.asarray(Image.open(io.BytesIO(resp.read())))
+        assert out.shape == (16, 32)
+
+    def test_post_multipart(self, server_url):
+        boundary = "xxBOUNDARYxx"
+        payload = _png_bytes(16, 32)
+        body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                f'name="file"; filename="left.png"\r\n'
+                f"Content-Type: image/png\r\n\r\n").encode() + payload + \
+            f"\r\n--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            server_url, data=body, method="POST",
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req) as resp:
+            out = np.asarray(Image.open(io.BytesIO(resp.read())))
+        assert out.shape == (16, 32)
+
+    def test_bad_payload(self, server_url):
+        req = urllib.request.Request(server_url, data=b"not a png",
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req)
+        assert err.value.code == 400
