@@ -2,14 +2,18 @@
 
 Baseline (BASELINE.md): the reference's CUDA classical backend runs 30 FPS
 end-to-end at 384x1280 with disparity range 0..64 on an unspecified GPU;
-GwcNet 6 FPS and MSNet3D 4 FPS are secondary metrics reported in the same
-JSON line.
+GwcNet 6 FPS is a secondary metric reported in the same JSON line
+(MSNet3D's compile exceeds the bench budget — opt in with BENCH_FULL=1).
 
-Protocol: an in-graph ``lax.fori_loop`` of M frames where each iteration's
-input depends on the previous output — a strict sequential chain, so remote
-execution pipelining/deduplication cannot inflate the number.  One dispatch,
-one sync; reported value = M / wall.  This is the serialized per-frame
-latency, the harshest honest FPS measure.
+Measurement protocol (the chip is reached through a network tunnel whose
+runtime memoizes value-identical executions, elides unconsumed outputs, and
+adds large fixed RPC latency — naive loops report absurd numbers):
+
+* every execution gets a DISTINCT device-derived input (``+ i * 1e-38``);
+* every result is consumed by one final on-device reduction (no elision);
+* the device runs the M programs serially (single core), so the MARGINAL
+  cost between a small and a large M is the true per-frame device time,
+  with the fixed tunnel latency differenced out.
 
 Prints exactly ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N, ...}``.
@@ -24,31 +28,47 @@ import time
 import numpy as np
 
 
-def _serialized_fps(frame_fn, args, iters: int) -> float:
-    """Time ``iters`` chained evaluations of ``frame_fn(*args)``.
+def _marginal_fps(frame_fn, args, m_small: int, m_large: int):
+    """Serialized device throughput via the marginal-cost protocol.
 
-    Each step folds the previous step's (zero-scaled) output into its input,
-    so the device must run the frames strictly in sequence; dispatch stays
-    async (device-resident carry, no host round-trips inside the loop).
+    One executable per M: an in-graph ``lax.map`` over M *distinct* frame
+    inputs whose per-frame sums are all consumed by one reduction — a
+    single dispatch and a single scalar readback, so per-call RPC cost
+    cannot pollute the measurement.  Every invocation also takes a fresh
+    ``seed`` operand so repeat runs are never value-identical (the tunnel
+    memoizes value-identical executions).
     """
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
-    @jax.jit
-    def step(carry, *a):
-        out = frame_fn(a[0] + 0.0 * carry, *a[1:])
-        return 0.0 * jnp.ravel(out)[0]
+    def make_runner(m):
+        @jax.jit
+        def run_m(seed, *a):
+            def one(i):
+                return jnp.sum(frame_fn(a[0] + (seed + i) * 1e-38, *a[1:]))
+            return jnp.sum(lax.map(one, jnp.arange(m, dtype=jnp.float32)))
+        return run_m
 
-    carry = step(jnp.float32(0.0), *args)              # compile + warm
-    jax.block_until_ready(carry)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = step(carry, *args)
-    jax.block_until_ready(carry)
-    return iters / (time.perf_counter() - t0)
+    run_small = make_runner(m_small)
+    run_large = make_runner(m_large)
+    jax.block_until_ready(run_small(jnp.float32(1.0), *args))   # compile
+    jax.block_until_ready(run_large(jnp.float32(2.0), *args))
+
+    def timed(fn, seed):
+        t0 = time.perf_counter()
+        total = float(fn(jnp.float32(seed), *args))
+        return time.perf_counter() - t0, total
+
+    t_small = min(timed(run_small, 3.0)[0], timed(run_small, 4.0)[0])
+    (t_large_a, total) = timed(run_large, 5.0)
+    t_large = min(t_large_a, timed(run_large, 6.0)[0])
+    slope = max((t_large - t_small) / (m_large - m_small), 1e-6)
+    fixed_ms = max(t_small - slope * m_small, 0.0) * 1000.0
+    return 1.0 / slope, fixed_ms, total / m_large
 
 
-def _classical_fps(iters: int = 50) -> float:
+def _classical_fps(extra: dict):
     import jax
     import jax.numpy as jnp
 
@@ -63,17 +83,18 @@ def _classical_fps(iters: int = 50) -> float:
     ld = jax.device_put(jnp.asarray(left))
     rd = jax.device_put(jnp.asarray(right))
 
-    # correctness sanity before timing
-    out = np.asarray(jax.jit(
-        lambda l, r: compute_disparity_map(l, r, cfg))(ld, rd))
-    interior = out[8:-8, 80:-80]
-    assert abs(float(interior.mean()) - 11.0) < 1.5, "disparity sanity failed"
+    fps, fixed_ms, mean_sum = _marginal_fps(
+        lambda l, r: compute_disparity_map(l, r, cfg), (ld, rd),
+        m_small=10, m_large=110)
+    # sanity: the synthetic pair has true disparity 11; the sum over the
+    # (mostly interior) map must sit near 11 * H * W.
+    mean_disparity = mean_sum / (384 * 1280)
+    assert 8.0 < mean_disparity < 14.0, f"sanity failed: {mean_disparity}"
+    extra["tunnel_fixed_latency_ms"] = round(fixed_ms, 1)
+    return fps
 
-    return _serialized_fps(lambda l, r: compute_disparity_map(l, r, cfg),
-                           (ld, rd), iters)
 
-
-def _dnn_fps(model_name: str, iters: int = 10) -> float:
+def _dnn_fps(model_name: str, extra: dict):
     import jax
     import jax.numpy as jnp
 
@@ -85,24 +106,28 @@ def _dnn_fps(model_name: str, iters: int = 10) -> float:
     x = jax.device_put(jnp.asarray(
         rng.uniform(0, 255, (1, 3, 384, 1280)), jnp.float32))
     params = backend.params
-    return _serialized_fps(
-        lambda l, r: backend._forward(params, l, r), (x, x), iters)
+    fps, _, _ = _marginal_fps(
+        lambda l, r: backend._forward(params, l, r), (x, x),
+        m_small=4, m_large=16)
+    return fps
 
 
 def main() -> None:
     import os
 
-    classical = _classical_fps()
-    extra = {}
-    # msnet3d's XLA compile alone exceeds a sane bench budget (hundreds of
-    # separable-3D-conv ops over the remote-compile tunnel) — opt in with
-    # BENCH_FULL=1; its throughput sits between classical and gwcnet.
+    start = time.perf_counter()
+    extra: dict = {}
+    classical = _classical_fps(extra)
     secondary = [("gwcnet", 6.0)]
     if os.environ.get("BENCH_FULL"):
         secondary.append(("msnet3d", 4.0))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 540))
     for name, baseline in secondary:
+        if time.perf_counter() - start > budget_s - 240:
+            print(f"bench: skipping {name} (wall budget)", file=sys.stderr)
+            continue
         try:
-            fps = _dnn_fps(name)
+            fps = _dnn_fps(name, extra)
             extra[f"{name}_fps"] = round(fps, 2)
             extra[f"{name}_vs_baseline"] = round(fps / baseline, 2)
         except Exception as exc:  # secondary metrics must not kill the bench

@@ -29,15 +29,27 @@ def wrap_pad(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
     return jnp.pad(x, pad, mode="wrap")
 
 
+# Window width above which the cumsum (running-sum) formulation wins over
+# direct shifted-slice accumulation.  On TPU, prefix sums along the minor
+# (lane) axis lower poorly, while 2r+1 shifted adds fuse into one VPU loop —
+# so the direct form is faster for every radius the reference ships (<= 10).
+_DIRECT_MAX_WINDOW = 32
+
+
 def box_sum_1d(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
     """Windowed sum over ``[i-radius, i+radius]`` along ``axis`` with
     wrap-around boundary handling. Output shape == input shape."""
     if radius == 0:
         return x
     xp = wrap_pad(x, radius, axis)
-    c = jnp.cumsum(xp, axis=axis, dtype=x.dtype)
     n = x.shape[axis]
     w = 2 * radius + 1
+    if w <= _DIRECT_MAX_WINDOW:
+        acc = lax.slice_in_dim(xp, 0, n, axis=axis)
+        for i in range(1, w):
+            acc = acc + lax.slice_in_dim(xp, i, i + n, axis=axis)
+        return acc
+    c = jnp.cumsum(xp, axis=axis, dtype=x.dtype)
     # window_sum[i] = c[i + w - 1] - c[i - 1]; realize c[-1] = 0 via shifted slices.
     hi = lax.slice_in_dim(c, w - 1, w - 1 + n, axis=axis)
     lo = lax.slice_in_dim(c, 0, n - 1, axis=axis)

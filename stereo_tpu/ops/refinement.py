@@ -37,6 +37,7 @@ from jax import lax
 
 from .boxfilter import box_sum_1d
 from .cost_volume import MAX_INTENSITY
+from .gather import take_lane, take_window_lanes
 
 
 def quadratic_function_peak(x1, y1, x2, y2, x3, y3):
@@ -107,15 +108,15 @@ def secondary_matching(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
                                          patch_radius, d_start, num_d)
 
     # Per-pixel 7-tap window: dense index k*d_idx + s holds the similarity at
-    # full-res disparity k*(d_mbm - 1) - 1 + s, s in [0, 2k+2].
-    starts = (k * d_idx)[..., None] + jnp.arange(win)[None, None, :]
-    window = jnp.take_along_axis(sampled_sad, starts, axis=-1)
+    # full-res disparity k*(d_mbm - 1) - 1 + s, s in [0, 2k+2].  Masked
+    # select-accumulate — NOT take_along_axis, which gathers per element
+    # along lanes (~16 ms/frame at KITTI res before this change).
+    window = take_window_lanes(sampled_sad, k * d_idx, win, step=k)
 
     # MBM parabola neighbours from the aggregated volume (mod-D indexing; see
     # module docstring for the min_disparity > 0 deviation).
     def mbm_cost(j):
-        idx = jnp.mod(d_idx + j, num_dd)
-        return jnp.take_along_axis(aggregated_volume, idx[..., None], axis=-1)[..., 0]
+        return take_lane(aggregated_volume, jnp.mod(d_idx + j, num_dd))
 
     return refine_from_window(window, disparity, mbm_cost(-1), mbm_cost(0),
                               mbm_cost(1), k)
@@ -135,13 +136,13 @@ def refine_from_window(window: jnp.ndarray, disparity: jnp.ndarray,
     scan = window[..., 1:-1]
     d_mbm = disparity.astype(jnp.int32)
     best_slot = jnp.argmax(scan, axis=-1)
-    c_sad = jnp.take_along_axis(scan, best_slot[..., None], axis=-1)[..., 0]
+    c_sad = take_lane(scan, best_slot)
     d_sad = k * (d_mbm - 1) + best_slot
     interior = (best_slot > 0) & (best_slot < 2 * k)
 
     # SAD parabola neighbours live at window slots best_slot and best_slot+2.
-    y_sad_next = jnp.take_along_axis(window, (best_slot + 2)[..., None], axis=-1)[..., 0]
-    y_sad_prev = jnp.take_along_axis(window, best_slot[..., None], axis=-1)[..., 0]
+    y_sad_next = take_lane(window, best_slot + 2)
+    y_sad_prev = take_lane(window, best_slot)
 
     fd = disparity  # float d_mbm (WTA output is integral)
     d_sad_f = d_sad.astype(fd.dtype)

@@ -41,6 +41,7 @@ from ..core.config import MatchingConfig, MeshConfig
 from .. import ops
 from ..ops.cost_volume import MAX_INTENSITY
 from ..ops.boxfilter import box_sum_1d, box_sum_2d
+from ..ops.gather import take_lane, take_window_lanes
 from ..ops.refinement import refine_from_window
 from ..ops.fills import _select_fill
 from .mesh import make_mesh
@@ -77,7 +78,7 @@ def _owned_gather(volume: jnp.ndarray, local_pos: jnp.ndarray,
     mask out-of-chunk positions locally, psum across the axis."""
     owned = (local_pos >= 0) & (local_pos < chunk)
     clipped = jnp.clip(local_pos, 0, chunk - 1)
-    vals = jnp.take_along_axis(volume, clipped[..., None], axis=-1)[..., 0]
+    vals = take_lane(volume, clipped)
     return lax.psum(jnp.where(owned, vals, 0.0), axis_name)
 
 
@@ -139,8 +140,7 @@ def _sharded_frame(left_rgb, right_rgb, config: MatchingConfig,
     # Stage 5: WTA — local argmax over the chunk, then a cross-chip
     # (value, index) reduction over the disp axis.
     local_best = jnp.argmax(aggregated, axis=-1)
-    local_val = jnp.take_along_axis(aggregated, local_best[..., None],
-                                    axis=-1)[..., 0]
+    local_val = jnp.max(aggregated, axis=-1)
     _, d_idx = _cross_chip_argmax(local_val,
                                   (local_best + c0).astype(jnp.int32), "disp")
     disparity = (d_idx + c.min_disparity_down).astype(aggregated.dtype)
@@ -164,8 +164,7 @@ def _sharded_frame(left_rgb, right_rgb, config: MatchingConfig,
 
     owned = (d_idx >= c0) & (d_idx < c0 + chunk)
     start_local = jnp.clip(k * (d_idx - c0), 0, n_dense_local - win)
-    taps = start_local[..., None] + jnp.arange(win)[None, None, :]
-    window = jnp.take_along_axis(dense, taps, axis=-1)
+    window = take_window_lanes(dense, start_local, win, step=k)
     window = lax.psum(jnp.where(owned[..., None], window, 0.0), "disp")
 
     mbm = [_owned_gather(aggregated, jnp.mod(d_idx + j, num_dd) - c0,
