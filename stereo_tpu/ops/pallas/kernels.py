@@ -1,0 +1,347 @@
+"""Hand-written Pallas TPU kernels for the classical engine's hot stages.
+
+Two fused kernels replace the reference's six hot CUDA kernels
+(``csrc/depth/kernels/*.cu``):
+
+* :func:`matching_core` — cost-volume construction (inverted SAD,
+  ``ncc_matching_cost_volume_construction.cu:67-76``), multi-block
+  aggregation (product of three box sums,
+  ``multi_block_matching_cost_aggregation.cu:58-88``), WTA selection
+  (``wta_disparity_selection.cu:22-30``) AND the three MBM parabola costs
+  the refinement needs — one pass over the downscaled pair.  The
+  (H_d, W_d, D) cost volume never exists anywhere: the d-loop carries only
+  O(tile) state (running best value/index, previous aggregated plane, and
+  the prev/next planes around the current winner, with mod-D wrap).
+
+* :func:`sampled_window` — secondary matching's dense full-resolution SAD
+  scan (``secondary_matching.cu:45-53``) fused with per-pixel window
+  extraction: each dense-disparity plane is computed in VMEM and
+  immediately scattered into the pixels' (2k+3)-tap windows by masked
+  select, so the (H_d, W_d, ~71) dense volume never exists either.
+
+Each grid program DMAs its (overlapping) input row band from HBM into VMEM
+scratch — the same tiling strategy as the reference's shared-memory halo
+tile (``multi_block_matching_cost_aggregation.cu:36-51``), with the wrap
+boundary pre-applied by the XLA wrapper (``pad_index`` semantics).  All
+loops are static.  ``interpret=True`` on non-TPU backends for the oracle
+tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.config import MatchingConfig
+
+MAX_INTENSITY = 255.0
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _row_tile(h: int, target: int) -> int:
+    """Largest divisor of ``h`` that is <= target."""
+    for t in range(min(target, h), 0, -1):
+        if h % t == 0:
+            return t
+    return h
+
+
+def _box_lanes(x, radius):
+    """Window sum along the last (lane) axis via static shifted slices:
+    input cols cover [-radius, W + radius) -> output cols [0, W)."""
+    if radius == 0:
+        return x
+    w = x.shape[-1] - 2 * radius
+    acc = x[..., 0:w]
+    for i in range(1, 2 * radius + 1):
+        acc = acc + x[..., i:i + w]
+    return acc
+
+
+def _box_sublanes(x, radius):
+    """Window sum along the row axis, same convention."""
+    if radius == 0:
+        return x
+    h = x.shape[-2] - 2 * radius
+    acc = x[..., 0:h, :]
+    for i in range(1, 2 * radius + 1):
+        acc = acc + x[..., i:i + h, :]
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: cost volume + aggregation + WTA + MBM parabola costs
+# ---------------------------------------------------------------------------
+
+def _matching_core_kernel(ld_hbm, rd_hbm, disp_ref, mbm_ref, ld_v, rd_v,
+                          acc, sems, *, config, tile_rows, band_rows,
+                          ld_cols, rd_cols):
+    c = config
+    num_d = c.num_disparities_down
+    r = c.cost_patch_radius
+    s, m, L = c.small_mbm_radius, c.mid_mbm_radius, c.large_mbm_radius
+    area = (2 * r + 1) ** 2
+    w_d = disp_ref.shape[-1]
+    i = pl.program_id(0)
+
+    row0 = i * tile_rows
+    # DMA bands are (8, 128)-tile aligned (allocation padded by the
+    # wrapper); the logical extents are recovered by value-level slicing.
+    cp_l = pltpu.make_async_copy(
+        ld_hbm.at[pl.ds(row0, ld_v.shape[0]), :], ld_v, sems.at[0])
+    cp_r = pltpu.make_async_copy(
+        rd_hbm.at[pl.ds(row0, rd_v.shape[0]), :], rd_v, sems.at[1])
+    cp_l.start()
+    cp_r.start()
+    cp_l.wait()
+    cp_r.wait()
+
+    ld = ld_v[...][:band_rows, :ld_cols]
+    rd = rd_v[...][:band_rows, :rd_cols]
+
+    # Accumulator state lives in VMEM scratch refs (slots of ``acc``) so
+    # the unrolled d-loop's live set stays one iteration deep — carrying it
+    # functionally blew the Mosaic scoped-vmem stack (79 MB at tile 32).
+    BEST, IDX, PREV, PLANE0, MPREV, MNEXT, PEND, LAST = range(8)
+    shape = (tile_rows, w_d)
+    acc[BEST] = jnp.full(shape, -jnp.inf, jnp.float32)
+    acc[IDX] = jnp.zeros(shape, jnp.float32)
+    acc[MPREV] = jnp.zeros(shape, jnp.float32)
+    acc[MNEXT] = jnp.zeros(shape, jnp.float32)
+    acc[PEND] = jnp.zeros(shape, jnp.float32)
+    acc[PREV] = jnp.zeros(shape, jnp.float32)
+
+    for d in range(num_d):
+        # rd is left-padded so that static offset num_d-1-d aligns column
+        # y - (min_disparity_down + d) under y.
+        off = num_d - 1 - d
+        diff = jnp.abs(ld - rd[:, off:off + ld.shape[-1]])
+        cost = area * MAX_INTENSITY - _box_lanes(_box_sublanes(diff, r), r)
+        # cost rows cover [-L, tile+L), cols [-L, w_d+L)
+
+        hrz = _box_lanes(
+            _box_sublanes(cost, s)[(L - s):(L - s) + tile_rows], L)
+        vrt = _box_lanes(
+            _box_sublanes(cost, L), s)[:, (L - s):(L - s) + w_d]
+        ctr = _box_lanes(
+            _box_sublanes(cost, m)[(L - m):(L - m) + tile_rows],
+            m)[:, (L - m):(L - m) + w_d]
+        agg = hrz * vrt * ctr
+
+        if d == 0:
+            acc[PLANE0] = agg
+        is_new_best = agg > acc[BEST]           # strict: first max wins
+        acc[MPREV] = jnp.where(is_new_best, acc[PREV], acc[MPREV])
+        acc[MNEXT] = jnp.where(acc[PEND] > 0, agg, acc[MNEXT])
+        acc[PEND] = is_new_best.astype(jnp.float32)
+        acc[IDX] = jnp.where(is_new_best, float(d), acc[IDX])
+        acc[BEST] = jnp.where(is_new_best, agg, acc[BEST])
+        acc[PREV] = agg
+        if d == num_d - 1:
+            acc[LAST] = agg
+
+    # mod-D wrap of the parabola neighbours (ops/refinement.py semantics)
+    best_idx = acc[IDX]
+    mbm_prev = jnp.where(best_idx == 0, acc[LAST], acc[MPREV])
+    mbm_next = jnp.where(best_idx == num_d - 1, acc[PLANE0], acc[MNEXT])
+
+    disp_ref[...] = best_idx + float(c.min_disparity_down)
+    mbm_ref[0] = mbm_prev
+    mbm_ref[1] = acc[BEST]
+    mbm_ref[2] = mbm_next
+
+
+def matching_core(left_down: jnp.ndarray, right_down: jnp.ndarray,
+                  config: MatchingConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Downscaled pair -> (disparity_down, mbm_costs).
+
+    ``disparity_down``: (H_d, W_d) float WTA winners in downscaled units
+    (including the min-disparity offset).  ``mbm_costs``: (3, H_d, W_d) —
+    aggregated cost at (winner-1, winner, winner+1) with mod-D wrap.
+    """
+    c = config
+    h_d, w_d = left_down.shape
+    num_d = c.num_disparities_down
+    halo = c.large_mbm_radius + c.cost_patch_radius
+    tile = _row_tile(h_d, 64)
+    band = tile + 2 * halo
+
+    # wrap pre-pad (pad_index semantics); right additionally padded left so
+    # every disparity's shift (min_disparity_down + d) is a static slice.
+    max_shift = c.min_disparity_down + num_d - 1
+    ld_pad = jnp.pad(left_down, ((halo, halo), (halo, halo)), mode="wrap")
+    rd_pad = jnp.pad(right_down, ((halo, halo), (halo + max_shift,
+                                                 halo - c.min_disparity_down)),
+                     mode="wrap")
+    ld_cols, rd_cols = ld_pad.shape[1], rd_pad.shape[1]
+
+    # DMA alignment: band rows to a multiple of 8, widths to 128 lanes
+    # (zero fill; the kernel value-slices back to the logical extents).
+    band_a = _round_up(band, 8)
+    def align(x):
+        return jnp.pad(x, ((0, band_a - band), (0, _round_up(x.shape[1], 128)
+                                                - x.shape[1])))
+    ld_pad = align(ld_pad)
+    rd_pad = align(rd_pad)
+
+    kernel = functools.partial(_matching_core_kernel, config=c,
+                               tile_rows=tile, band_rows=band,
+                               ld_cols=ld_cols, rd_cols=rd_cols)
+    disp, mbm = pl.pallas_call(
+        kernel,
+        grid=(h_d // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, w_d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile, w_d), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h_d, w_d), jnp.float32),
+            jax.ShapeDtypeStruct((3, h_d, w_d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((band_a, ld_pad.shape[1]), jnp.float32),
+            pltpu.VMEM((band_a, rd_pad.shape[1]), jnp.float32),
+            pltpu.VMEM((8, tile, w_d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(ld_pad, rd_pad)
+    return disp, mbm
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: dense SAD scan + per-pixel window extraction
+# ---------------------------------------------------------------------------
+
+def _sampled_window_kernel(lg_hbm, rg_hbm, didx_ref, win_ref, lg_v, rg_v,
+                           acc, sems, *, k, sad_r, num_dense, tile_rows, w_d,
+                           band_rows, lg_cols, rg_cols):
+    win = 2 * k + 3
+    area = (2 * sad_r + 1) ** 2
+    i = pl.program_id(0)
+
+    row0 = i * tile_rows * k
+    cp_l = pltpu.make_async_copy(
+        lg_hbm.at[pl.ds(row0, lg_v.shape[0]), :], lg_v, sems.at[0])
+    cp_r = pltpu.make_async_copy(
+        rg_hbm.at[pl.ds(row0, rg_v.shape[0]), :], rg_v, sems.at[1])
+    cp_l.start()
+    cp_r.start()
+    cp_l.wait()
+    cp_r.wait()
+
+    lg = lg_v[...][:band_rows, :lg_cols]
+    rg = rg_v[...][:band_rows, :rg_cols]
+    d_idx = didx_ref[...].astype(jnp.int32)      # (tile, w_d)
+
+    # Stride-k sampling is done with 0/1 selection matmuls on the MXU —
+    # Mosaic has no strided slices/loads (strides confined to 1).
+    full_w = lg.shape[-1] - 2 * sad_r
+    sel_cols = (jax.lax.broadcasted_iota(jnp.int32, (full_w, w_d), 0)
+                == k * jax.lax.broadcasted_iota(jnp.int32, (full_w, w_d), 1)
+                ).astype(jnp.float32)
+    sel_rows = (jax.lax.broadcasted_iota(
+        jnp.int32, (tile_rows, k * tile_rows), 1)
+        == k * jax.lax.broadcasted_iota(
+            jnp.int32, (tile_rows, k * tile_rows), 0)).astype(jnp.float32)
+
+    for s2 in range(win):
+        acc[s2] = jnp.zeros((tile_rows, w_d), jnp.float32)
+    for t in range(num_dense):
+        off = num_dense - 1 - t
+        diff = jnp.abs(lg - rg[:, off:off + lg.shape[-1]])
+        cols = _box_lanes(diff, sad_r)           # (band, W)
+        cols = jnp.dot(cols, sel_cols, preferred_element_type=jnp.float32)
+        rows = _box_sublanes(cols, sad_r)        # (k*tile, w_d)
+        plane = jnp.dot(sel_rows, rows, preferred_element_type=jnp.float32)
+        plane = area * MAX_INTENSITY - plane
+        slot = t - k * d_idx
+        for s2 in range(win):
+            acc[s2] = jnp.where(slot == s2, plane, acc[s2])
+
+    for s2 in range(win):
+        win_ref[s2] = acc[s2]
+
+
+def sampled_window(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
+                   disparity_down: jnp.ndarray, config: MatchingConfig
+                   ) -> jnp.ndarray:
+    """Full-res pair + WTA winners -> (2k+3, H_d, W_d) per-pixel dense-SAD
+    windows (tap s = similarity at full-res disparity k*(d_mbm-1)-1+s)."""
+    c = config
+    k = c.k
+    sad_r = c.sad_patch_radius
+    h_d, w_d = disparity_down.shape
+    num_d = c.num_disparities_down
+    num_dense = k * (num_d + 1) + 3
+    d_start = k * (c.min_disparity_down - 1) - 1
+    win = 2 * k + 3
+
+    tile = _row_tile(h_d, 16)
+    band = k * tile + 2 * sad_r
+
+    lg_pad = jnp.pad(left_gray, ((sad_r, sad_r), (sad_r, sad_r)),
+                     mode="wrap")
+    # After rolling right by (d_start + num_dense - 1), the static slice at
+    # offset (num_dense - 1 - t) reproduces roll(right, d_start + t) —
+    # i.e. column y - (d_start + t) with mod-W wrap — under column y.
+    rg_roll = jnp.roll(right_gray, d_start + num_dense - 1, axis=-1)
+    rg_pad = jnp.pad(rg_roll, ((sad_r, sad_r),
+                               (sad_r, sad_r + num_dense - 1)), mode="wrap")
+    lg_cols, rg_cols = lg_pad.shape[1], rg_pad.shape[1]
+
+    band_a = _round_up(band, 8)
+    def align(x):
+        return jnp.pad(x, ((0, band_a - band), (0, _round_up(x.shape[1], 128)
+                                                - x.shape[1])))
+    lg_pad = align(lg_pad)
+    rg_pad = align(rg_pad)
+
+    d_idx = disparity_down.astype(jnp.int32) - c.min_disparity_down
+
+    kernel = functools.partial(_sampled_window_kernel, k=k, sad_r=sad_r,
+                               num_dense=num_dense, tile_rows=tile, w_d=w_d,
+                               band_rows=band, lg_cols=lg_cols,
+                               rg_cols=rg_cols)
+    return pl.pallas_call(
+        kernel,
+        grid=(h_d // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((tile, w_d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((win, tile, w_d), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((win, h_d, w_d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((band_a, lg_pad.shape[1]), jnp.float32),
+            pltpu.VMEM((band_a, rg_pad.shape[1]), jnp.float32),
+            pltpu.VMEM((win, tile, w_d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(lg_pad, rg_pad, d_idx)

@@ -1,0 +1,102 @@
+"""Pallas kernel tests (interpret mode on CPU) against the XLA oracle path."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stereo_tpu import ops
+from stereo_tpu.core.config import MatchingConfig
+from stereo_tpu.matching import classical
+from stereo_tpu.ops.pallas import matching_core, sampled_window
+
+RNG = np.random.default_rng(21)
+
+
+def stereo_pair(h, w, shift):
+    left = RNG.integers(0, 256, (h, w)).astype(np.float32)
+    left = np.round((left + np.roll(left, 1, 0) + np.roll(left, 1, 1)) / 3)
+    right = np.roll(left, -shift, axis=-1)
+    return left.astype(np.float32), right.astype(np.float32)
+
+
+CFG = MatchingConfig(height=32, width=64, downscale_factor=2,
+                     min_disparity=0, max_disparity=15, cost_patch_radius=1,
+                     sad_patch_radius=2, threshold=5, small_mbm_radius=1,
+                     mid_mbm_radius=1, large_mbm_radius=2)
+
+# Middlebury-style: nonzero min disparity, bigger radii
+CFG_MIN = MatchingConfig(height=48, width=96, downscale_factor=2,
+                         min_disparity=8, max_disparity=23,
+                         cost_patch_radius=1, sad_patch_radius=3, threshold=5,
+                         small_mbm_radius=1, mid_mbm_radius=2,
+                         large_mbm_radius=3)
+
+
+class TestMatchingCore:
+    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN], ids=["kitti", "middlebury"])
+    def test_matches_xla_path(self, cfg):
+        lg, rg = stereo_pair(cfg.height, cfg.width, 2 * cfg.min_disparity // 2 + 6)
+        ld = ops.mean_pool(jnp.asarray(lg), cfg.k)
+        rd = ops.mean_pool(jnp.asarray(rg), cfg.k)
+
+        vol = ops.sad_cost_volume(ld, rd, cfg.min_disparity_down,
+                                  cfg.max_disparity_down,
+                                  cfg.cost_patch_radius)
+        agg = ops.mbm_aggregate(vol, cfg.small_mbm_radius, cfg.mid_mbm_radius,
+                                cfg.large_mbm_radius)
+        want_disp = ops.wta_disparity(agg, cfg.min_disparity_down)
+
+        disp, mbm = matching_core(ld, rd, cfg)
+        np.testing.assert_allclose(np.asarray(disp), np.asarray(want_disp))
+
+        d_idx = np.asarray(want_disp).astype(np.int64) - cfg.min_disparity_down
+        agg_np = np.asarray(agg)
+        num_d = agg_np.shape[-1]
+        for slot, j in ((0, -1), (1, 0), (2, 1)):
+            want = np.take_along_axis(
+                agg_np, ((d_idx + j) % num_d)[..., None], axis=-1)[..., 0]
+            np.testing.assert_allclose(np.asarray(mbm[slot]), want, rtol=1e-6,
+                                       err_msg=f"mbm slot {slot}")
+
+
+class TestSampledWindow:
+    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN], ids=["kitti", "middlebury"])
+    def test_matches_xla_window(self, cfg):
+        from stereo_tpu.ops.refinement import sampled_sad_volume
+        from stereo_tpu.ops.gather import take_window_lanes
+
+        lg, rg = stereo_pair(cfg.height, cfg.width, 6)
+        ld = ops.mean_pool(jnp.asarray(lg), cfg.k)
+        rd = ops.mean_pool(jnp.asarray(rg), cfg.k)
+        vol = ops.sad_cost_volume(ld, rd, cfg.min_disparity_down,
+                                  cfg.max_disparity_down,
+                                  cfg.cost_patch_radius)
+        agg = ops.mbm_aggregate(vol, cfg.small_mbm_radius, cfg.mid_mbm_radius,
+                                cfg.large_mbm_radius)
+        disp = ops.wta_disparity(agg, cfg.min_disparity_down)
+
+        k = cfg.k
+        num_dd = agg.shape[-1]
+        d_start = k * (cfg.min_disparity_down - 1) - 1
+        num_dense = k * (num_dd + 1) + 3
+        dense = sampled_sad_volume(jnp.asarray(lg), jnp.asarray(rg), k,
+                                   cfg.sad_patch_radius, d_start, num_dense)
+        d_idx = disp.astype(jnp.int32) - cfg.min_disparity_down
+        want = take_window_lanes(dense, k * d_idx, 2 * k + 3, step=k)
+
+        got = sampled_window(jnp.asarray(lg), jnp.asarray(rg), disp, cfg)
+        np.testing.assert_allclose(np.moveaxis(np.asarray(got), 0, -1),
+                                   np.asarray(want), rtol=1e-6)
+
+
+class TestFusedPipeline:
+    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN], ids=["kitti", "middlebury"])
+    def test_pallas_impl_equals_xla_impl(self, cfg):
+        left = RNG.integers(0, 256, (3, cfg.height, cfg.width)).astype(np.float32)
+        right = np.roll(left, -6, axis=-1).astype(np.float32)
+        want = np.asarray(classical.compute_disparity_map(
+            jnp.asarray(left), jnp.asarray(right), cfg))
+        got = np.asarray(classical.compute_disparity_map(
+            jnp.asarray(left), jnp.asarray(right),
+            cfg.replace(impl="pallas")))
+        np.testing.assert_allclose(got, want, atol=1e-4)
