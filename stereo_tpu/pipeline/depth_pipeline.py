@@ -99,6 +99,9 @@ class DepthEstimationPipeline:
         if name in AVAILABLE_DNN_BACKENDS:
             return DnnStereoMatchingBackend(name, image_shape=cfg.image_shape)
         if name in ("classical", "cuda"):  # "cuda" kept as a parity alias
+            if cfg.mesh is not None and cfg.mesh.num_devices > 1:
+                from .backends import ShardedClassicalBackend
+                return ShardedClassicalBackend(cfg.matching_config(), cfg.mesh)
             return ClassicalStereoBackend(cfg.matching_config())
         raise RuntimeError(f"Unsupported stereo matching backend: {name}")
 

@@ -69,3 +69,23 @@ class TestShardedEquivalence:
         with pytest.raises(ValueError):
             engine.compute_disparity_maps(
                 np.zeros((3, 3, 32, 64)), np.zeros((3, 3, 32, 64)))
+
+
+class TestPipelineMeshWiring:
+    def test_pipeline_uses_sharded_backend(self):
+        from stereo_tpu.core.config import PipelineConfig
+        from stereo_tpu.pipeline import DepthEstimationPipeline
+        from stereo_tpu.pipeline.backends import ShardedClassicalBackend
+
+        cfg = PipelineConfig(image_shape=(32, 64), min_disparity=0,
+                             max_disparity=15, matching=CFG,
+                             stereo_matching_backend="classical",
+                             mesh=MeshConfig(data=1, tile=2, disp=2))
+        pipeline = DepthEstimationPipeline(cfg)
+        assert isinstance(pipeline.stereo_matching, ShardedClassicalBackend)
+        left, right = batch(1)
+        single = ClassicalStereoEngine(CFG).compute_disparity_map(
+            left[0], right[0])
+        result = pipeline.process(left[0], right[0])
+        np.testing.assert_allclose(np.asarray(result.disparity_map),
+                                   np.asarray(single), atol=1e-4)
