@@ -89,3 +89,39 @@ class TestPipelineMeshWiring:
         result = pipeline.process(left[0], right[0])
         np.testing.assert_allclose(np.asarray(result.disparity_map),
                                    np.asarray(single), atol=1e-4)
+
+
+class TestHealth:
+    def test_check_devices_healthy(self):
+        from stereo_tpu.parallel.health import check_devices
+
+        report = check_devices(timeout_s=60)
+        assert report.healthy and report.num_devices == 8
+
+    def test_supervised_runner_retries_then_succeeds(self):
+        from stereo_tpu.parallel.health import SupervisedRunner
+
+        calls = {"n": 0, "recovered": 0}
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("chip fell over")
+            return "ok"
+
+        runner = SupervisedRunner(
+            recover=lambda: calls.__setitem__("recovered",
+                                              calls["recovered"] + 1),
+            max_retries=3, backoff_s=0.01)
+        assert runner.run(flaky) == "ok"
+        assert calls["recovered"] == 2 and runner.failures == 2
+
+    def test_supervised_runner_gives_up(self):
+        from stereo_tpu.parallel.health import SupervisedRunner
+
+        def dead():
+            raise RuntimeError("no chips")
+
+        runner = SupervisedRunner(max_retries=1, backoff_s=0.0)
+        with pytest.raises(RuntimeError):
+            runner.run(dead)
