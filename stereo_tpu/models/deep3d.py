@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.shift_stack import weighted_shift_sum
-from .layers import nchw_to_nhwc, nhwc_to_nchw
+from .layers import nchw_to_nhwc
 
 NUM_DISPARITY_CHANNELS = 65
 

@@ -105,9 +105,12 @@ class GwcNet(nn.Module):
         left = nchw_to_nhwc(left_nchw)
         right = nchw_to_nhwc(right_nchw)
 
+        # Siamese trick: one application over the stacked pair instead of
+        # two weight-shared applications — halves the extractor's op count
+        # (XLA compile time) and doubles its batch (better MXU utilization).
         features = GwcFeatureExtractor(layer2_blocks=self.layer2_blocks)
-        fl = features(left, train)
-        fr = features(right, train)
+        both = features(jnp.concatenate([left, right], axis=0), train)
+        fl, fr = both[:n], both[n:]
 
         volume = build_gwc_volume(fl, fr, d4, self.num_groups)
         if self.use_concat_volume:

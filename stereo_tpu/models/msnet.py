@@ -128,10 +128,13 @@ class MSNet2D(nn.Module):
     def __call__(self, left_nchw, right_nchw, train: bool = False):
         n, _, height, width = left_nchw.shape
         d4 = self.max_disparity // 4
+        # single stacked application of the siamese extractor (see gwcnet.py)
         features = MobileFeatureExtractor()
         compress = FeatureCompressor()
-        fl = compress(features(nchw_to_nhwc(left_nchw), train), train)
-        fr = compress(features(nchw_to_nhwc(right_nchw), train), train)
+        stacked = jnp.concatenate([nchw_to_nhwc(left_nchw),
+                                   nchw_to_nhwc(right_nchw)], axis=0)
+        both = compress(features(stacked, train), train)
+        fl, fr = both[:n], both[n:]
 
         volume = InterlacedVolume2D(d4)(fl, fr, train)        # (N, H4, W4, D4)
         x = SeparableConvBn2D(d4)(volume, train)
@@ -185,10 +188,13 @@ class MSNet3D(nn.Module):
     def __call__(self, left_nchw, right_nchw, train: bool = False):
         n, _, height, width = left_nchw.shape
         d4 = self.max_disparity // 4
+        # single stacked application of the siamese extractor (see gwcnet.py)
         features = MobileFeatureExtractor()
         compress = FeatureCompressor()
-        fl = compress(features(nchw_to_nhwc(left_nchw), train), train)
-        fr = compress(features(nchw_to_nhwc(right_nchw), train), train)
+        stacked = jnp.concatenate([nchw_to_nhwc(left_nchw),
+                                   nchw_to_nhwc(right_nchw)], axis=0)
+        both = compress(features(stacked, train), train)
+        fl, fr = both[:n], both[n:]
 
         volume = build_concat_volume(fl, fr, d4)              # (N,D4,H4,W4,64)
         x = ConvBnAct(32, (3, 3, 3))(volume, train)

@@ -31,9 +31,7 @@ Deviations from reference (documented, KITTI-exact):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-from jax import lax
 
 from .boxfilter import box_sum_1d
 from .cost_volume import MAX_INTENSITY

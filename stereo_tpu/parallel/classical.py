@@ -30,7 +30,7 @@ a virtual 8-device CPU mesh.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ TPU-native differences:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 

@@ -5,8 +5,6 @@ exchange, blockwise cost volume, cross-chip argmax, and psum-gathered
 refinement must not change a single output value.
 """
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -12,7 +12,7 @@ from stereo_tpu.pipeline import (DepthEstimationPipeline,
                                  run_depth_estimation_pipeline_batched,
                                  run_depth_estimation_pipeline_evaluation,
                                  validate_pipeline_config_wrt_camera)
-from stereo_tpu.pipeline.camera import (Camera, EvaluationCamera,
+from stereo_tpu.pipeline.camera import (EvaluationCamera,
                                         MiddleburyStereoCamera,
                                         load_middlebury_calibration)
 from stereo_tpu.pipeline.hooks import (ContextFrameSaver, ContextVideoSaver,
