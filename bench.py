@@ -2,8 +2,8 @@
 
 Baseline (BASELINE.md): the reference's CUDA classical backend runs 30 FPS
 end-to-end at 384x1280 with disparity range 0..64 on an unspecified GPU;
-GwcNet 6 FPS is a secondary metric reported in the same JSON line
-(MSNet3D's compile exceeds the bench budget — opt in with BENCH_FULL=1).
+GwcNet 6 FPS and MSNet3D 4 FPS are secondary metrics reported in the same
+JSON line when the wall budget allows (remote-compile latency varies a lot).
 
 Measurement protocol (the chip is reached through a network tunnel whose
 runtime memoizes value-identical executions, elides unconsumed outputs, and
@@ -113,30 +113,48 @@ def _dnn_fps(model_name: str, extra: dict, compute_dtype: str = "float32"):
     return fps
 
 
+def _worker(name: str, dtype: str) -> None:
+    """Subprocess entry: measure one DNN backend, print one number."""
+    print("WORKER_FPS", _dnn_fps(name, {}, compute_dtype=dtype), flush=True)
+
+
 def main() -> None:
     import os
+    import subprocess
 
     start = time.perf_counter()
     extra: dict = {}
     classical = _classical_fps(extra)
-    secondary = [("gwcnet", 6.0)]
-    if os.environ.get("BENCH_FULL"):
-        secondary.append(("msnet3d", 4.0))
+
+    # Secondary metrics run in killable subprocesses: remote-compile latency
+    # varies from 30s to 10+ min, and the headline JSON line must ALWAYS be
+    # printed within the budget.
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 540))
-    for name, baseline in secondary:
-        if time.perf_counter() - start > budget_s - 240:
-            print(f"bench: skipping {name} (wall budget)", file=sys.stderr)
+    jobs = [("gwcnet", 6.0, "float32", "gwcnet_fps"),
+            ("msnet3d", 4.0, "float32", "msnet3d_fps"),
+            ("gwcnet", 6.0, "bfloat16", "gwcnet_bf16_fps")]
+    for name, baseline, dtype, key in jobs:
+        remaining = budget_s - (time.perf_counter() - start) - 30
+        if remaining < 90:
+            print(f"bench: skipping {key} (wall budget)", file=sys.stderr)
             continue
         try:
-            fps = _dnn_fps(name, extra)
-            extra[f"{name}_fps"] = round(fps, 2)
-            extra[f"{name}_vs_baseline"] = round(fps / baseline, 2)
-            # bf16 inference (+~27% on gwcnet) when time remains
-            if time.perf_counter() - start < budget_s - 240:
-                fps16 = _dnn_fps(name, extra, compute_dtype="bfloat16")
-                extra[f"{name}_bf16_fps"] = round(fps16, 2)
-        except Exception as exc:  # secondary metrics must not kill the bench
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 name, dtype],
+                capture_output=True, text=True, timeout=remaining,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in proc.stdout.splitlines():
+                if line.startswith("WORKER_FPS"):
+                    fps = float(line.split()[1])
+                    extra[key] = round(fps, 2)
+                    if dtype == "float32":
+                        extra[f"{name}_vs_baseline"] = round(fps / baseline, 2)
+        except subprocess.TimeoutExpired:
+            print(f"bench: {key} timed out", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: {key} failed: {exc}", file=sys.stderr)
+
     result = {
         "metric": "classical_stereo_fps_per_chip_kitti_384x1280_d64",
         "value": round(classical, 2),
@@ -148,4 +166,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        _worker(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "float32")
+    else:
+        main()

@@ -96,3 +96,32 @@ class RightViewSynthesis:
         down = jnp.zeros((1, 3, *self.model_down_shape), jnp.float32)
         full = jnp.zeros((1, 3, *self.model_full_shape), jnp.float32)
         return self.model.init(jax.random.PRNGKey(0), full, down, train=False)
+
+
+def _main() -> None:
+    """Smoke test: synthesize the right view for one image and save both
+    (parity with the reference's inline ``__main__``,
+    ``right_view_synthesis.py:43-53``)."""
+    import argparse
+
+    import numpy as np
+
+    from ..utils.image_io import read_image_chw, write_image_chw
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("image", help="left view image path")
+    parser.add_argument("--out-prefix", default="rvs_smoke")
+    parser.add_argument("--checkpoint-dir", default=None)
+    args = parser.parse_args()
+
+    left = read_image_chw(args.image)
+    rvs = RightViewSynthesis(checkpoint_dir=args.checkpoint_dir)
+    right = np.asarray(rvs.process(left))
+    write_image_chw(f"{args.out_prefix}_left.png", left)
+    write_image_chw(f"{args.out_prefix}_right.png", right)
+    print(f"Wrote {args.out_prefix}_left.png / {args.out_prefix}_right.png "
+          f"({right.shape[2]}x{right.shape[1]})")
+
+
+if __name__ == "__main__":
+    _main()
