@@ -175,24 +175,35 @@ def matching_core(left_down: jnp.ndarray, right_down: jnp.ndarray,
     h_d, w_d = left_down.shape
     num_d = c.num_disparities_down
     halo = c.large_mbm_radius + c.cost_patch_radius
+    # Output blocks must be 8-row aligned; heights without an aligned
+    # divisor (Middlebury: 540) run on a padded grid and crop the result.
     tile = _row_tile(h_d, 64)
+    if tile % 8:
+        tile = 64
+    h_pad = _round_up(h_d, tile)
     band = tile + 2 * halo
 
     # wrap pre-pad (pad_index semantics); right additionally padded left so
     # every disparity's shift (min_disparity_down + d) is a static slice.
     max_shift = c.min_disparity_down + num_d - 1
     ld_pad = jnp.pad(left_down, ((halo, halo), (halo, halo)), mode="wrap")
-    rd_pad = jnp.pad(right_down, ((halo, halo), (halo + max_shift,
-                                                 halo - c.min_disparity_down)),
+    # right extent needed is halo - min_shift, which can go negative when
+    # the minimum disparity exceeds the halo (Middlebury: min_dd 37 > 11)
+    right_cols = max(halo - c.min_disparity_down, 0)
+    rd_pad = jnp.pad(right_down, ((halo, halo),
+                                  (halo + max_shift, right_cols)),
                      mode="wrap")
     ld_cols, rd_cols = ld_pad.shape[1], rd_pad.shape[1]
 
     # DMA alignment: band rows to a multiple of 8, widths to 128 lanes
     # (zero fill; the kernel value-slices back to the logical extents).
+    # Rows also extend to cover the padded grid's last band.
     band_a = _round_up(band, 8)
+    rows_needed = (h_pad - tile) + band_a
+
     def align(x):
-        return jnp.pad(x, ((0, band_a - band), (0, _round_up(x.shape[1], 128)
-                                                - x.shape[1])))
+        return jnp.pad(x, ((0, rows_needed - x.shape[0]),
+                           (0, _round_up(x.shape[1], 128) - x.shape[1])))
     ld_pad = align(ld_pad)
     rd_pad = align(rd_pad)
 
@@ -201,7 +212,7 @@ def matching_core(left_down: jnp.ndarray, right_down: jnp.ndarray,
                                ld_cols=ld_cols, rd_cols=rd_cols)
     disp, mbm = pl.pallas_call(
         kernel,
-        grid=(h_d // tile,),
+        grid=(h_pad // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -213,8 +224,8 @@ def matching_core(left_down: jnp.ndarray, right_down: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((h_d, w_d), jnp.float32),
-            jax.ShapeDtypeStruct((3, h_d, w_d), jnp.float32),
+            jax.ShapeDtypeStruct((h_pad, w_d), jnp.float32),
+            jax.ShapeDtypeStruct((3, h_pad, w_d), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((band_a, ld_pad.shape[1]), jnp.float32),
@@ -226,7 +237,7 @@ def matching_core(left_down: jnp.ndarray, right_down: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(ld_pad, rd_pad)
-    return disp, mbm
+    return disp[:h_d], mbm[:, :h_d]
 
 
 # ---------------------------------------------------------------------------
@@ -297,7 +308,11 @@ def sampled_window(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
     d_start = k * (c.min_disparity_down - 1) - 1
     win = 2 * k + 3
 
+    # 8-row-aligned tiles; unaligned heights run on a padded grid + crop.
     tile = _row_tile(h_d, 16)
+    if tile % 8:
+        tile = 16
+    h_pad = _round_up(h_d, tile)
     band = k * tile + 2 * sad_r
 
     lg_pad = jnp.pad(left_gray, ((sad_r, sad_r), (sad_r, sad_r)),
@@ -311,21 +326,24 @@ def sampled_window(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
     lg_cols, rg_cols = lg_pad.shape[1], rg_pad.shape[1]
 
     band_a = _round_up(band, 8)
+    rows_needed = k * (h_pad - tile) + band_a
+
     def align(x):
-        return jnp.pad(x, ((0, band_a - band), (0, _round_up(x.shape[1], 128)
-                                                - x.shape[1])))
+        return jnp.pad(x, ((0, rows_needed - x.shape[0]),
+                           (0, _round_up(x.shape[1], 128) - x.shape[1])))
     lg_pad = align(lg_pad)
     rg_pad = align(rg_pad)
 
     d_idx = disparity_down.astype(jnp.int32) - c.min_disparity_down
+    d_idx = jnp.pad(d_idx, ((0, h_pad - h_d), (0, 0)))
 
     kernel = functools.partial(_sampled_window_kernel, k=k, sad_r=sad_r,
                                num_dense=num_dense, tile_rows=tile, w_d=w_d,
                                band_rows=band, lg_cols=lg_cols,
                                rg_cols=rg_cols)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(h_d // tile,),
+        grid=(h_pad // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -334,7 +352,7 @@ def sampled_window(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((win, tile, w_d), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((win, h_d, w_d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((win, h_pad, w_d), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((band_a, lg_pad.shape[1]), jnp.float32),
             pltpu.VMEM((band_a, rg_pad.shape[1]), jnp.float32),
@@ -345,3 +363,4 @@ def sampled_window(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(lg_pad, rg_pad, d_idx)
+    return out[:, :h_d]

@@ -31,9 +31,26 @@ CFG_MIN = MatchingConfig(height=48, width=96, downscale_factor=2,
                          small_mbm_radius=1, mid_mbm_radius=2,
                          large_mbm_radius=3)
 
+# min disparity far beyond the halo (the real Middlebury regime: min_dd 37
+# vs halo 11 — exercised the negative-right-pad bug)
+CFG_BIGMIN = MatchingConfig(height=48, width=128, downscale_factor=2,
+                            min_disparity=24, max_disparity=39,
+                            cost_patch_radius=1, sad_patch_radius=2,
+                            threshold=5, small_mbm_radius=1, mid_mbm_radius=1,
+                            large_mbm_radius=2)
+
+# downscaled height with no 8-aligned divisor (Middlebury 540 regime):
+# exercises the padded-grid + crop path
+CFG_UNALIGNED = MatchingConfig(height=40, width=64, downscale_factor=2,
+                               min_disparity=0, max_disparity=11,
+                               cost_patch_radius=1, sad_patch_radius=2,
+                               threshold=5, small_mbm_radius=1,
+                               mid_mbm_radius=1, large_mbm_radius=2)
+
 
 class TestMatchingCore:
-    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN], ids=["kitti", "middlebury"])
+    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN, CFG_BIGMIN, CFG_UNALIGNED],
+                             ids=["kitti", "middlebury", "bigmin", "unaligned"])
     def test_matches_xla_path(self, cfg):
         lg, rg = stereo_pair(cfg.height, cfg.width, 2 * cfg.min_disparity // 2 + 6)
         ld = ops.mean_pool(jnp.asarray(lg), cfg.k)
@@ -60,7 +77,8 @@ class TestMatchingCore:
 
 
 class TestSampledWindow:
-    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN], ids=["kitti", "middlebury"])
+    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN, CFG_BIGMIN, CFG_UNALIGNED],
+                             ids=["kitti", "middlebury", "bigmin", "unaligned"])
     def test_matches_xla_window(self, cfg):
         from stereo_tpu.ops.refinement import sampled_sad_volume
         from stereo_tpu.ops.gather import take_window_lanes
@@ -90,7 +108,8 @@ class TestSampledWindow:
 
 
 class TestFusedPipeline:
-    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN], ids=["kitti", "middlebury"])
+    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN, CFG_BIGMIN, CFG_UNALIGNED],
+                             ids=["kitti", "middlebury", "bigmin", "unaligned"])
     def test_pallas_impl_equals_xla_impl(self, cfg):
         left = RNG.integers(0, 256, (3, cfg.height, cfg.width)).astype(np.float32)
         right = np.roll(left, -6, axis=-1).astype(np.float32)
