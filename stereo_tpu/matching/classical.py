@@ -47,7 +47,16 @@ def compute_disparity_from_grayscale(left_gray: jnp.ndarray,
                                      config: MatchingConfig) -> jnp.ndarray:
     """Stages 2-8 on precomputed (H, W) grayscale images."""
     c = config
-    if c.impl == "pallas":
+    impl = c.impl
+    if impl == "auto":
+        # The Pallas kernels stream the cost volume through VMEM — a clear
+        # win once the volume is large (1.7x at Middlebury's 94 planes);
+        # at small D, XLA's fused pipeline is on par and compiles faster.
+        # Off-TPU the kernels would run interpreted — always use XLA there.
+        divisible = c.height % c.k == 0 and c.width % c.k == 0
+        impl = "pallas" if (divisible and jax.default_backend() == "tpu" and
+                            c.num_disparities_down > 48) else "xla"
+    if impl == "pallas":
         from ..ops.pallas import classical_fused
         return classical_fused.compute_disparity_from_grayscale(
             left_gray, right_gray, c)

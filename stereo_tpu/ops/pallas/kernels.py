@@ -41,6 +41,11 @@ from ...core.config import MatchingConfig
 
 MAX_INTENSITY = 255.0
 
+# Above this many disparity planes the kernels switch from a fully unrolled
+# loop (fastest, but Mosaic compile time scales with the unroll) to a
+# fori_loop with an in-VMEM roll-by-one per iteration (compile O(1) in D).
+_UNROLL_MAX_PLANES = 48
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -109,10 +114,9 @@ def _matching_core_kernel(ld_hbm, rd_hbm, disp_ref, mbm_ref, ld_v, rd_v,
     cp_r.wait()
 
     ld = ld_v[...][:band_rows, :ld_cols]
-    rd = rd_v[...][:band_rows, :rd_cols]
 
     # Accumulator state lives in VMEM scratch refs (slots of ``acc``) so
-    # the unrolled d-loop's live set stays one iteration deep — carrying it
+    # the d-loop's live set stays one iteration deep — carrying it
     # functionally blew the Mosaic scoped-vmem stack (79 MB at tile 32).
     BEST, IDX, PREV, PLANE0, MPREV, MNEXT, PEND, LAST = range(8)
     shape = (tile_rows, w_d)
@@ -123,14 +127,12 @@ def _matching_core_kernel(ld_hbm, rd_hbm, disp_ref, mbm_ref, ld_v, rd_v,
     acc[PEND] = jnp.zeros(shape, jnp.float32)
     acc[PREV] = jnp.zeros(shape, jnp.float32)
 
-    for d in range(num_d):
-        # rd is left-padded so that static offset num_d-1-d aligns column
-        # y - (min_disparity_down + d) under y.
-        off = num_d - 1 - d
-        diff = jnp.abs(ld - rd[:, off:off + ld.shape[-1]])
+    def step(d, rd_window, d_value):
+        """One disparity plane; ``rd_window`` already aligned so column y
+        holds right[y - (min_disparity_down + d)]."""
+        diff = jnp.abs(ld - rd_window)
         cost = area * MAX_INTENSITY - _box_lanes(_box_sublanes(diff, r), r)
         # cost rows cover [-L, tile+L), cols [-L, w_d+L)
-
         hrz = _box_lanes(
             _box_sublanes(cost, s)[(L - s):(L - s) + tile_rows], L)
         vrt = _box_lanes(
@@ -140,17 +142,37 @@ def _matching_core_kernel(ld_hbm, rd_hbm, disp_ref, mbm_ref, ld_v, rd_v,
             m)[:, (L - m):(L - m) + w_d]
         agg = hrz * vrt * ctr
 
-        if d == 0:
-            acc[PLANE0] = agg
+        first = jnp.float32(d_value) == 0.0
+        acc[PLANE0] = jnp.where(first, agg, acc[PLANE0])
         is_new_best = agg > acc[BEST]           # strict: first max wins
         acc[MPREV] = jnp.where(is_new_best, acc[PREV], acc[MPREV])
         acc[MNEXT] = jnp.where(acc[PEND] > 0, agg, acc[MNEXT])
         acc[PEND] = is_new_best.astype(jnp.float32)
-        acc[IDX] = jnp.where(is_new_best, float(d), acc[IDX])
+        acc[IDX] = jnp.where(is_new_best, jnp.float32(d_value), acc[IDX])
         acc[BEST] = jnp.where(is_new_best, agg, acc[BEST])
         acc[PREV] = agg
-        if d == num_d - 1:
-            acc[LAST] = agg
+        acc[LAST] = jnp.where(jnp.float32(d_value) == num_d - 1, agg,
+                              acc[LAST])
+
+    if num_d <= _UNROLL_MAX_PLANES:
+        rd = rd_v[...][:band_rows, :rd_cols]
+        for d in range(num_d):
+            off = num_d - 1 - d
+            step(d, rd[:, off:off + ld.shape[-1]], float(d))
+    else:
+        # fori-loop variant: compile time O(1) in D.  Each iteration rolls
+        # the right band by one lane in place, keeping the slice offset
+        # static; the wrapped-in garbage (first d columns) stays left of
+        # the fixed slice start (num_d - 1 >= d).
+        off = num_d - 1
+
+        def body(d, _):
+            rd = rd_v[...][:band_rows, :rd_cols]
+            step(d, rd[:, off:off + ld.shape[-1]], d.astype(jnp.float32))
+            rd_v[...] = pltpu.roll(rd_v[...], 1, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, num_d, body, 0)
 
     # mod-D wrap of the parabola neighbours (ops/refinement.py semantics)
     best_idx = acc[IDX]
@@ -262,7 +284,6 @@ def _sampled_window_kernel(lg_hbm, rg_hbm, didx_ref, win_ref, lg_v, rg_v,
     cp_r.wait()
 
     lg = lg_v[...][:band_rows, :lg_cols]
-    rg = rg_v[...][:band_rows, :rg_cols]
     d_idx = didx_ref[...].astype(jnp.int32)      # (tile, w_d)
 
     # Stride-k sampling is done with 0/1 selection matmuls on the MXU —
@@ -278,17 +299,33 @@ def _sampled_window_kernel(lg_hbm, rg_hbm, didx_ref, win_ref, lg_v, rg_v,
 
     for s2 in range(win):
         acc[s2] = jnp.zeros((tile_rows, w_d), jnp.float32)
-    for t in range(num_dense):
-        off = num_dense - 1 - t
-        diff = jnp.abs(lg - rg[:, off:off + lg.shape[-1]])
+
+    def step(rg_window, t_value):
+        diff = jnp.abs(lg - rg_window)
         cols = _box_lanes(diff, sad_r)           # (band, W)
         cols = jnp.dot(cols, sel_cols, preferred_element_type=jnp.float32)
         rows = _box_sublanes(cols, sad_r)        # (k*tile, w_d)
         plane = jnp.dot(sel_rows, rows, preferred_element_type=jnp.float32)
         plane = area * MAX_INTENSITY - plane
-        slot = t - k * d_idx
+        slot = t_value - k * d_idx
         for s2 in range(win):
             acc[s2] = jnp.where(slot == s2, plane, acc[s2])
+
+    if num_dense <= 2 * _UNROLL_MAX_PLANES:
+        rg = rg_v[...][:band_rows, :rg_cols]
+        for t in range(num_dense):
+            off = num_dense - 1 - t
+            step(rg[:, off:off + lg.shape[-1]], t)
+    else:
+        off = num_dense - 1
+
+        def body(t, _):
+            rg = rg_v[...][:band_rows, :rg_cols]
+            step(rg[:, off:off + lg.shape[-1]], t)
+            rg_v[...] = pltpu.roll(rg_v[...], 1, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, num_dense, body, 0)
 
     for s2 in range(win):
         win_ref[s2] = acc[s2]

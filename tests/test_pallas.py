@@ -39,6 +39,14 @@ CFG_BIGMIN = MatchingConfig(height=48, width=128, downscale_factor=2,
                             threshold=5, small_mbm_radius=1, mid_mbm_radius=1,
                             large_mbm_radius=2)
 
+# enough disparity planes to force the fori_loop kernel variant
+# (num_dd = 60 > _UNROLL_MAX_PLANES, num_dense = 125)
+CFG_FORI = MatchingConfig(height=32, width=256, downscale_factor=2,
+                          min_disparity=0, max_disparity=119,
+                          cost_patch_radius=1, sad_patch_radius=2,
+                          threshold=5, small_mbm_radius=1, mid_mbm_radius=1,
+                          large_mbm_radius=2)
+
 # downscaled height with no 8-aligned divisor (Middlebury 540 regime):
 # exercises the padded-grid + crop path
 CFG_UNALIGNED = MatchingConfig(height=40, width=64, downscale_factor=2,
@@ -49,8 +57,8 @@ CFG_UNALIGNED = MatchingConfig(height=40, width=64, downscale_factor=2,
 
 
 class TestMatchingCore:
-    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN, CFG_BIGMIN, CFG_UNALIGNED],
-                             ids=["kitti", "middlebury", "bigmin", "unaligned"])
+    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN, CFG_BIGMIN, CFG_UNALIGNED, CFG_FORI],
+                             ids=["kitti", "middlebury", "bigmin", "unaligned", "fori"])
     def test_matches_xla_path(self, cfg):
         lg, rg = stereo_pair(cfg.height, cfg.width, 2 * cfg.min_disparity // 2 + 6)
         ld = ops.mean_pool(jnp.asarray(lg), cfg.k)
@@ -77,8 +85,8 @@ class TestMatchingCore:
 
 
 class TestSampledWindow:
-    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN, CFG_BIGMIN, CFG_UNALIGNED],
-                             ids=["kitti", "middlebury", "bigmin", "unaligned"])
+    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN, CFG_BIGMIN, CFG_UNALIGNED, CFG_FORI],
+                             ids=["kitti", "middlebury", "bigmin", "unaligned", "fori"])
     def test_matches_xla_window(self, cfg):
         from stereo_tpu.ops.refinement import sampled_sad_volume
         from stereo_tpu.ops.gather import take_window_lanes
@@ -108,8 +116,8 @@ class TestSampledWindow:
 
 
 class TestFusedPipeline:
-    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN, CFG_BIGMIN, CFG_UNALIGNED],
-                             ids=["kitti", "middlebury", "bigmin", "unaligned"])
+    @pytest.mark.parametrize("cfg", [CFG, CFG_MIN, CFG_BIGMIN, CFG_UNALIGNED, CFG_FORI],
+                             ids=["kitti", "middlebury", "bigmin", "unaligned", "fori"])
     def test_pallas_impl_equals_xla_impl(self, cfg):
         left = RNG.integers(0, 256, (3, cfg.height, cfg.width)).astype(np.float32)
         right = np.roll(left, -6, axis=-1).astype(np.float32)
