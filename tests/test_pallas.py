@@ -41,11 +41,11 @@ CFG_BIGMIN = MatchingConfig(height=48, width=128, downscale_factor=2,
 
 # enough disparity planes to force the fori_loop kernel variant
 # (num_dd = 60 > _UNROLL_MAX_PLANES, num_dense = 125)
-CFG_FORI = MatchingConfig(height=32, width=256, downscale_factor=2,
-                          min_disparity=0, max_disparity=119,
-                          cost_patch_radius=1, sad_patch_radius=2,
+CFG_FORI = MatchingConfig(height=16, width=224, downscale_factor=2,
+                          min_disparity=0, max_disparity=99,
+                          cost_patch_radius=1, sad_patch_radius=1,
                           threshold=5, small_mbm_radius=1, mid_mbm_radius=1,
-                          large_mbm_radius=2)
+                          large_mbm_radius=1)
 
 # downscaled height with no 8-aligned divisor (Middlebury 540 regime):
 # exercises the padded-grid + crop path
