@@ -3,7 +3,10 @@
 Baseline (BASELINE.md): the reference's CUDA classical backend runs 30 FPS
 end-to-end at 384x1280 with disparity range 0..64 on an unspecified GPU;
 GwcNet 6 FPS and MSNet3D 4 FPS are secondary metrics reported in the same
-JSON line when the wall budget allows (remote-compile latency varies a lot).
+JSON line.  Secondary metrics are measured FIRST (the classical headline is
+cheap to compile and its measurement is reserved a fixed tail budget) so
+variable remote-compile latency can no longer starve them; a persistent
+compilation cache makes repeat runs cheap.
 
 Measurement protocol (the chip is reached through a network tunnel whose
 runtime memoizes value-identical executions, elides unconsumed outputs, and
@@ -22,10 +25,26 @@ Prints exactly ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_bench_cache")
+
+
+def _enable_compile_cache() -> None:
+    """Persistent compilation cache (tests have one; bench runs repeat the
+    same programs across rounds and development runs warm the driver's)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:  # noqa: BLE001 — cache is best-effort
+        print(f"bench: compile cache unavailable: {exc}", file=sys.stderr)
 
 
 def _marginal_fps(frame_fn, args, m_small: int, m_large: int):
@@ -94,6 +113,29 @@ def _classical_fps(extra: dict):
     return fps
 
 
+def _middlebury_pallas_fps():
+    """Classical engine at the Middlebury 1080p config (disparity 75..262),
+    where ``impl='auto'`` selects the Pallas streamed-volume kernels —
+    driver-captured evidence for the Pallas path."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_tpu.core.config import MatchingConfig
+    from stereo_tpu.matching.classical import compute_disparity_map
+
+    cfg = MatchingConfig()   # Middlebury defaults: 1080x1920, 75..262
+    rng = np.random.default_rng(1)
+    left = np.round(rng.uniform(0, 255, (3, cfg.height, cfg.width))
+                    ).astype(np.float32)
+    right = np.roll(left, -90, axis=-1)
+    ld = jax.device_put(jnp.asarray(left))
+    rd = jax.device_put(jnp.asarray(right))
+    fps, _, _ = _marginal_fps(
+        lambda l, r: compute_disparity_map(l, r, cfg), (ld, rd),
+        m_small=4, m_large=24)
+    return fps
+
+
 def _dnn_fps(model_name: str, extra: dict, compute_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
@@ -109,32 +151,39 @@ def _dnn_fps(model_name: str, extra: dict, compute_dtype: str = "float32"):
     params = backend.params
     fps, _, _ = _marginal_fps(
         lambda l, r: backend._forward(params, l, r), (x, x),
-        m_small=4, m_large=16)
+        m_small=2, m_large=8)
     return fps
 
 
-def _worker(name: str, dtype: str) -> None:
-    """Subprocess entry: measure one DNN backend, print one number."""
-    print("WORKER_FPS", _dnn_fps(name, {}, compute_dtype=dtype), flush=True)
+def _worker(job: str, dtype: str) -> None:
+    """Subprocess entry: measure one metric, print one number."""
+    _enable_compile_cache()
+    if job == "middlebury":
+        print("WORKER_FPS", _middlebury_pallas_fps(), flush=True)
+    else:
+        print("WORKER_FPS", _dnn_fps(job, {}, compute_dtype=dtype), flush=True)
 
 
 def main() -> None:
-    import os
     import subprocess
 
+    _enable_compile_cache()
     start = time.perf_counter()
-    extra: dict = {}
-    classical = _classical_fps(extra)
-
-    # Secondary metrics run in killable subprocesses: remote-compile latency
-    # varies from 30s to 10+ min, and the headline JSON line must ALWAYS be
-    # printed within the budget.
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 540))
+    # The classical headline (compile ~10-40s + ~30s measurement) always gets
+    # this reserved tail; everything before it is killable.
+    classical_reserve_s = 150.0
+    extra: dict = {}
+
+    # Secondary metrics FIRST, in killable subprocesses (remote-compile
+    # latency varies 30s..10+min; the headline must still always print).
     jobs = [("gwcnet", 6.0, "float32", "gwcnet_fps"),
             ("msnet3d", 4.0, "float32", "msnet3d_fps"),
+            ("middlebury", None, "float32", "middlebury_1080p_pallas_fps"),
             ("gwcnet", 6.0, "bfloat16", "gwcnet_bf16_fps")]
     for name, baseline, dtype, key in jobs:
-        remaining = budget_s - (time.perf_counter() - start) - 30
+        remaining = (budget_s - (time.perf_counter() - start)
+                     - classical_reserve_s)
         if remaining < 90:
             print(f"bench: skipping {key} (wall budget)", file=sys.stderr)
             continue
@@ -148,12 +197,14 @@ def main() -> None:
                 if line.startswith("WORKER_FPS"):
                     fps = float(line.split()[1])
                     extra[key] = round(fps, 2)
-                    if dtype == "float32":
+                    if baseline is not None and dtype == "float32":
                         extra[f"{name}_vs_baseline"] = round(fps / baseline, 2)
         except subprocess.TimeoutExpired:
             print(f"bench: {key} timed out", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             print(f"bench: {key} failed: {exc}", file=sys.stderr)
+
+    classical = _classical_fps(extra)
 
     result = {
         "metric": "classical_stereo_fps_per_chip_kitti_384x1280_d64",

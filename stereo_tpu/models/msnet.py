@@ -75,13 +75,10 @@ class InterlacedVolume2D(nn.Module):
 
     @nn.compact
     def __call__(self, left, right, train: bool = False):
-        encoder = nn.Sequential([])  # placeholder for clarity; defined below
-
         # Shared encoder modules (declared once, applied per disparity).
         enc1 = SeparableConvBn2D(16)
         enc2 = SeparableConvBn2D(8)
         enc3 = nn.Conv(1, (3, 3), padding="SAME", use_bias=True)
-        del encoder
 
         c = left.shape[-1]
         slices = []

@@ -11,14 +11,15 @@ open3d dependencies.  Device arrays are pulled to host NumPy inside hooks
 from __future__ import annotations
 
 import os
+import threading
 from abc import ABC, abstractmethod
 from collections import OrderedDict
 from typing import Callable
 
 import numpy as np
 
-from ..utils.image_io import (make_image_grid, prepare_image_grid,
-                              save_image_grid, write_video)
+from ..utils.image_io import (make_image_grid, open_video_writer,
+                              prepare_image_grid, save_image_grid)
 from ..utils.paths import timestamp_folder_name
 from ..utils.pointcloud import save_point_cloud_from_depth
 from .camera.camera import Camera
@@ -116,14 +117,31 @@ class PointCloudSaver(DepthEstimationPipelineHook):
 
 
 class ContextVideoSaver(DepthEstimationPipelineHook):
-    """Buffers one grid frame per processed frame; encodes an mp4 on
-    pipeline end (reference ``:104-131``)."""
+    """Streams one grid frame per processed frame into an mp4 writer
+    (reference ``:104-131`` buffers the whole video in RAM; here the writer
+    is opened on the first frame and frames are written incrementally, so
+    host memory stays flat over the drive length).
+
+    Hook tasks run on a thread pool and may complete out of order, while a
+    video stream must be written in frame order — a small reorder buffer
+    holds early frames until their predecessors arrive.
+    """
 
     def __init__(self, save_path: str, fps: int):
         self._fps = fps
         self._save_path = save_path
         os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
-        self._frames: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._lock = threading.Lock()
+        self._writer = None
+        self._next_index = 0
+        self._out_of_order: "OrderedDict[int, np.ndarray]" = OrderedDict()
+
+    def _write(self, frame_hwc: np.ndarray) -> None:
+        if self._writer is None:
+            self._writer = open_video_writer(
+                self._save_path, frame_hwc.shape[0], frame_hwc.shape[1],
+                self._fps)
+        self._writer.write(frame_hwc[:, :, ::-1])  # RGB -> BGR
 
     def process(self, context: DepthEstimationPipelineContext) -> None:
         grid = make_image_grid(prepare_image_grid([
@@ -131,10 +149,17 @@ class ContextVideoSaver(DepthEstimationPipelineHook):
             np.asarray(context.right_image),
             np.asarray(context.disparity_map)]), padding=10, pad_value=1.0)
         frame = np.clip(grid * 255.0 + 0.5, 0, 255).astype(np.uint8)
-        self._frames[context.frame_index] = frame.transpose(1, 2, 0)
+        frame = np.ascontiguousarray(frame.transpose(1, 2, 0))
+        with self._lock:
+            self._out_of_order[context.frame_index] = frame
+            while self._next_index in self._out_of_order:
+                self._write(self._out_of_order.pop(self._next_index))
+                self._next_index += 1
 
     def on_pipeline_end(self) -> None:
-        if not self._frames:
-            return
-        stack = np.stack([self._frames[i] for i in self._frames], axis=0)
-        write_video(self._save_path, stack, self._fps)
+        with self._lock:
+            for index in sorted(self._out_of_order):
+                self._write(self._out_of_order.pop(index))
+            if self._writer is not None:
+                self._writer.release()
+                self._writer = None

@@ -72,7 +72,13 @@ def run_depth_estimation_pipeline(
                 right_image=result.right_image,
                 config=config,
                 frame_index=frame_index)
-            pending = [f for f in pending if not f.done()]
+            still_pending = []
+            for f in pending:
+                if f.done():
+                    f.result()   # surface hook exceptions instead of dropping them
+                else:
+                    still_pending.append(f)
+            pending = still_pending
             pending += [pool.submit(DepthEstimationPipelineHook.invoke_in_context,
                                     hook, context) for hook in hooks]
         for f in pending:
@@ -91,8 +97,13 @@ def run_depth_estimation_pipeline_batched(
 
     def flush(batch_lr, start_index, pool):
         lefts = np.stack([l for l, _ in batch_lr])
-        rights = ([r for _, r in batch_lr]
-                  if all(r is not None for _, r in batch_lr) else None)
+        n_with_right = sum(r is not None for _, r in batch_lr)
+        if 0 < n_with_right < len(batch_lr):
+            raise RuntimeError(
+                f"Mixed batch: {n_with_right}/{len(batch_lr)} frames carry a "
+                "real right view. Batches must be all-real or all-synthesized "
+                "— split the stream or use the unbatched runner.")
+        rights = ([r for _, r in batch_lr] if n_with_right else None)
         result = pipeline.process_batch(
             lefts, np.stack(rights) if rights else None)
         futures = []

@@ -54,11 +54,14 @@ def _extract_multipart_file(body: bytes, content_type: str) -> Optional[bytes]:
     if not match:
         return None
     boundary = b"--" + match.group(1).encode()
-    for part in body.split(boundary):
+    # RFC 2046: each part ends at CRLF + boundary, so splitting on that
+    # delimiter yields exact payloads — a payload whose own last bytes are
+    # CR/LF/'-' survives intact (an rstrip over b"\r\n-" would truncate it).
+    for part in body.split(b"\r\n" + boundary):
         header_end = part.find(b"\r\n\r\n")
         if header_end < 0 or b"filename=" not in part[:header_end]:
             continue
-        return part[header_end + 4:].rstrip(b"\r\n-")
+        return part[header_end + 4:]
     return None
 
 

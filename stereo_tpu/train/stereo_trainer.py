@@ -46,10 +46,12 @@ class Kitti2015StereoDataset:
     def load(self, idx: int, rng: np.random.Generator):
         left = _read_chw(self.lefts[idx])
         right = _read_chw(self.rights[idx])
-        disp = np.asarray(Image.open(self.disps[idx]), np.float32)
+        with Image.open(self.disps[idx]) as im:
+            is_uint16 = im.mode in ("I", "I;16", "I;16B", "I;16L")
+            disp = np.asarray(im, np.float32)
         if disp.ndim == 3:
             disp = disp[..., 0]
-        if disp.max() > 512:          # uint16 KITTI encoding
+        if is_uint16:                 # KITTI uint16 encoding: value/256 px
             disp = disp / 256.0
         ch, cw = self.crop
         h, w = left.shape[-2:]

@@ -112,16 +112,25 @@ def read_kitti_drive_stereo_pairs(drive_dir: str) -> Tuple[List[str], List[str]]
     return lefts, rights
 
 
-def write_video(path: str, frames_thwc: np.ndarray, fps: int) -> None:
-    """Write a (T, H, W, 3) uint8 RGB frame stack to an mp4 (replaces
-    ``torchvision.io.write_video`` in the reference's video hook)."""
+def open_video_writer(path: str, height: int, width: int, fps: int):
+    """Open a streaming mp4 writer; callers ``.write()`` BGR uint8 frames
+    incrementally and ``.release()`` when done — memory stays flat over the
+    video length (the reference buffers the whole stack in RAM)."""
     import cv2
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    t, h, w, _ = frames_thwc.shape
-    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (width, height))
     if not writer.isOpened():
         raise RuntimeError(f"Could not open video writer for {path}")
+    return writer
+
+
+def write_video(path: str, frames_thwc: np.ndarray, fps: int) -> None:
+    """Write a (T, H, W, 3) uint8 RGB frame stack to an mp4 (replaces
+    ``torchvision.io.write_video`` in the reference's video hook)."""
+    t, h, w, _ = frames_thwc.shape
+    writer = open_video_writer(path, h, w, fps)
     try:
         for frame in frames_thwc:
             writer.write(frame[:, :, ::-1])  # RGB -> BGR

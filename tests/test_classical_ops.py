@@ -60,6 +60,22 @@ class TestImageOps:
         got = np.asarray(ops.rescale_generated_view(jnp.asarray(x)))
         np.testing.assert_array_equal(got[0, 0], [0.0, 0.5, 128.0, 255.0, 255.0])
 
+    def test_rescale_generated_view_fp32_no_round(self):
+        """The reference kernel stores ``min(max(x*255+0.5, 0), 255)`` into an
+        **fp32** buffer — there is no floor/round
+        (``rescale_generated_view.cu:17-18`` writes the clamped float directly
+        into the fp32 ``m_output_buffer``, ``right_view_synthesis.cc:10``).
+        Non-half-valued inputs must therefore produce the exact non-integer
+        fp32 values, not rounded ones."""
+        rng = np.random.default_rng(3)
+        x = rng.uniform(-0.2, 1.2, (3, 4, 5)).astype(np.float32)
+        got = np.asarray(ops.rescale_generated_view(jnp.asarray(x)))
+        want = np.minimum(np.maximum(x * np.float32(255.0) + np.float32(0.5),
+                                     np.float32(0.0)), np.float32(255.0))
+        np.testing.assert_array_equal(got, want)
+        interior = (got > 0) & (got < 255)
+        assert not np.all(got[interior] == np.round(got[interior]))
+
     def test_grayscale_gradient_shape(self):
         img = random_image(16, 16)
         got = np.asarray(ops.grayscale_gradient(jnp.asarray(img)))

@@ -123,3 +123,15 @@ class TestHealth:
         runner = SupervisedRunner(max_retries=1, backoff_s=0.0)
         with pytest.raises(RuntimeError):
             runner.run(dead)
+
+
+class TestMeshFactors:
+    def test_every_count_gets_a_collective_axis(self):
+        import __graft_entry__ as ge
+
+        for n in range(1, 13):
+            data, tile, disp = ge._mesh_factors(n)
+            assert data * tile * disp == n
+            if n > 1:
+                # at least one collective-bearing axis must be > 1
+                assert tile > 1 or disp > 1, (n, data, tile, disp)

@@ -248,3 +248,68 @@ class TestImageIO:
         grid = image_io.make_image_grid(image_io.prepare_image_grid(
             [i for i in imgs]), padding=2, pad_value=1.0)
         assert grid.shape == (3, 2 * 4 + 3 * 2, 6 + 2 * 2)
+
+    def test_video_saver_out_of_order_frames(self, tmp_path):
+        """Hook tasks can complete out of order on the thread pool; the
+        streamed writer must still emit frames in index order."""
+        import cv2
+
+        from stereo_tpu.pipeline.depth_pipeline import DepthEstimationPipelineContext
+
+        path = str(tmp_path / "video.mp4")
+        hook = ContextVideoSaver(path, fps=5)
+        levels = [0.0, 100.0, 200.0]
+        contexts = []
+        for i, level in enumerate(levels):
+            img = np.full((3, 8, 12), level, np.float32)
+            contexts.append(DepthEstimationPipelineContext(
+                disparity_map=np.full((8, 12), level, np.float32),
+                left_image=img, right_image=img,
+                config=PipelineConfig(image_shape=(8, 12)), frame_index=i))
+        for i in (2, 0, 1):   # deliver out of order
+            hook.process(contexts[i])
+        hook.on_pipeline_end()
+
+        cap = cv2.VideoCapture(path)
+        means = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            means.append(frame.mean())
+        cap.release()
+        assert len(means) == 3
+        # dark -> mid -> bright despite out-of-order delivery
+        assert means[0] < means[1] < means[2]
+
+
+class TestRunnerErrorPaths:
+    def _pipeline(self):
+        cfg = PipelineConfig(image_shape=(16, 32), min_disparity=0,
+                             max_disparity=8, matching=TINY,
+                             stereo_matching_backend="classical")
+        return DepthEstimationPipeline(cfg)
+
+    def test_hook_exception_surfaces(self):
+        class Boom(Exception):
+            pass
+
+        def explode(context):
+            raise Boom("hook failed")
+
+        cam = FakeStereoCamera(n_frames=3)
+        with pytest.raises(Boom):
+            run_depth_estimation_pipeline(cam, self._pipeline(),
+                                          [LambdaHook(explode)])
+
+    def test_batched_mixed_right_views_raises(self):
+        class MixedCamera(FakeStereoCamera):
+            def stream_image_pairs(self):
+                for i, (left, right) in enumerate(
+                        super().stream_image_pairs()):
+                    yield left, (right if i == 0 else None)
+
+        cam = MixedCamera(n_frames=2)
+        with pytest.raises(RuntimeError, match="Mixed batch"):
+            run_depth_estimation_pipeline_batched(cam, self._pipeline(),
+                                                  batch_size=2)

@@ -97,3 +97,44 @@ class TestServer:
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(req)
         assert err.value.code == 400
+
+
+class TestMultipartParser:
+    """Unit tests for the minimal multipart parser (no server needed)."""
+
+    @staticmethod
+    def _body(payload: bytes, boundary: str = "BNDRY") -> bytes:
+        return ((f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="file"; filename="x.bin"\r\n'
+                 f"Content-Type: application/octet-stream\r\n\r\n").encode()
+                + payload + f"\r\n--{boundary}--\r\n".encode())
+
+    def test_payload_ending_in_crlf_dash_survives(self):
+        from stereo_tpu.serve.api import _extract_multipart_file
+
+        # bytes a greedy rstrip(b"\r\n-") would have truncated
+        payload = b"\x89PNGdata\r\n---\r\n"
+        body = self._body(payload)
+        got = _extract_multipart_file(
+            body, "multipart/form-data; boundary=BNDRY")
+        assert got == payload
+
+    def test_quoted_boundary(self):
+        from stereo_tpu.serve.api import _extract_multipart_file
+
+        payload = b"abc"
+        body = self._body(payload)
+        got = _extract_multipart_file(
+            body, 'multipart/form-data; boundary="BNDRY"')
+        assert got == payload
+
+    def test_non_file_parts_skipped(self):
+        from stereo_tpu.serve.api import _extract_multipart_file
+
+        boundary = "BNDRY"
+        body = ((f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="note"\r\n\r\n').encode() + b"just a field" +
+                b"\r\n" + self._body(b"payload", boundary))
+        got = _extract_multipart_file(
+            body, f"multipart/form-data; boundary={boundary}")
+        assert got == b"payload"

@@ -123,3 +123,34 @@ class TestStereoTrainer:
         out = model.apply(restored, jnp.zeros((1, 3, 32, 64)),
                           jnp.zeros((1, 3, 32, 64)), train=False)
         assert out.shape == (1, 32, 64)
+
+
+class TestGroundTruthDecoding:
+    """GT disparity PNG scaling must key on the PIL mode, not pixel values
+    (a genuine uint16 KITTI file whose disparities are all <= 2px would be
+    silently left unscaled by a value heuristic)."""
+
+    def test_uint16_small_values_scaled(self, tmp_path):
+        from PIL import Image
+
+        l = str(tmp_path / "l.png"); r = str(tmp_path / "r.png")
+        d = str(tmp_path / "d.png")
+        _write_png(l, 8, 16)
+        _write_png(r, 8, 16)
+        # 16-bit GT encoding disparity 1.0 px -> raw value 256 (< 512)
+        Image.fromarray(np.full((8, 16), 256, np.uint16)).save(d)
+        ds = Kitti2015StereoDataset([l], [r], [d], crop=(8, 16))
+        _, _, disp = ds.load(0, np.random.default_rng(0))
+        np.testing.assert_allclose(disp, 1.0)
+
+    def test_uint8_values_unscaled(self, tmp_path):
+        from PIL import Image
+
+        l = str(tmp_path / "l.png"); r = str(tmp_path / "r.png")
+        d = str(tmp_path / "d.png")
+        _write_png(l, 8, 16)
+        _write_png(r, 8, 16)
+        Image.fromarray(np.full((8, 16), 100, np.uint8), mode="L").save(d)
+        ds = Kitti2015StereoDataset([l], [r], [d], crop=(8, 16))
+        _, _, disp = ds.load(0, np.random.default_rng(0))
+        np.testing.assert_allclose(disp, 100.0)
