@@ -1,20 +1,34 @@
-"""Scaling-efficiency harness for the sharded classical engine.
+"""Scaling-efficiency harness (BASELINE.md target: >= 80% frames/s scaling
+efficiency chip -> host -> pod).
 
-Measures batch throughput of ``ShardedClassicalEngine`` over growing device
-counts (BASELINE.md target: >= 80% frames/s scaling efficiency chip -> host
--> pod).  On this single-chip box it runs on virtual CPU devices to
-exercise the collective paths; on a real slice run it as-is (the mesh picks
-up all visible devices).
+Two modes, because this box has ONE real TPU chip:
+
+* ``--mode mesh`` (default off-TPU): throughput of ``ShardedClassicalEngine``
+  over growing device counts.  On virtual CPU devices the numbers measure
+  *communication/sharding overhead shape only* — virtual devices share the
+  same physical cores, so "efficiency" is not chip-scaling evidence; on a
+  real slice the same command measures true scaling.
+* ``--mode batch`` (default on-TPU): single-chip weak scaling — frames/s of
+  the vmapped engine at growing batch sizes.  This is the per-chip half of
+  the scaling story the driver can actually capture here.
+
+Every repeat perturbs the input batch by a tiny on-device epsilon first:
+the TPU tunnel memoizes value-identical dispatches, so timing an unmodified
+repeat would measure the cache, not the device
+(see ``bench.py``'s marginal protocol for the headline numbers).
 
 Usage::
 
-    # virtual 8-device demo (CPU)
+    # virtual 8-device mesh (CPU)
     env -u PYTHONPATH JAX_PLATFORMS=cpu \
         XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python scripts/bench_scaling.py --height 128 --width 256
+        python scripts/bench_scaling.py --mode mesh --height 128 --width 256
 
-    # real slice
-    python scripts/bench_scaling.py --height 384 --width 1280
+    # real chip: batch scaling at the KITTI config
+    python scripts/bench_scaling.py --mode batch --height 384 --width 1280 \
+        --max-disparity 64
+
+Writes the JSON to ``results/scaling/`` (committed as the scaling record).
 """
 
 from __future__ import annotations
@@ -31,6 +45,7 @@ import jax
 import numpy as np
 
 from stereo_tpu.core.config import MatchingConfig, MeshConfig
+from stereo_tpu.matching.classical import ClassicalStereoEngine
 from stereo_tpu.parallel import ShardedClassicalEngine
 
 
@@ -41,54 +56,118 @@ def mesh_layouts(n):
     return layouts.get(n)
 
 
+def _timed_fps(run, left, right, batch, repeats):
+    """Best-of-N wall time with a per-repeat on-device perturbation so no
+    two dispatches are value-identical (tunnel memoization guard)."""
+    import jax.numpy as jnp
+
+    ld = jnp.asarray(left)
+    rd = jnp.asarray(right)
+    jax.block_until_ready(run(ld, rd))                 # compile + warm
+    best = float("inf")
+    for i in range(repeats):
+        eps = jnp.float32((i + 1) * 1e-38)
+        lp = jax.block_until_ready(ld + eps)
+        rp = jax.block_until_ready(rd + eps)
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(lp, rp))
+        best = min(best, time.perf_counter() - t0)
+    return batch / best
+
+
+def _make_config(args):
+    return MatchingConfig(
+        height=args.height, width=args.width, downscale_factor=2,
+        min_disparity=0, max_disparity=args.max_disparity,
+        cost_patch_radius=1, sad_patch_radius=2, threshold=5,
+        small_mbm_radius=1, mid_mbm_radius=1, large_mbm_radius=2)
+
+
+def run_mesh_mode(args) -> dict:
+    n_devices = len(jax.devices())
+    rng = np.random.default_rng(0)
+    results = {}
+    base_fps = None
+    for n in (1, 2, 4, 8, 16, 32):
+        if n > n_devices or mesh_layouts(n) is None:
+            continue
+        data, tile, disp = mesh_layouts(n)
+        engine = ShardedClassicalEngine(_make_config(args),
+                                        MeshConfig(data, tile, disp))
+        batch = max(args.frames - args.frames % data, data)
+        left = rng.integers(0, 256, (batch, 3, args.height,
+                                     args.width)).astype(np.float32)
+        right = np.roll(left, -4, axis=-1)
+        fps = _timed_fps(engine.compute_disparity_maps, left, right, batch,
+                         args.repeats)
+        if base_fps is None:
+            base_fps = fps
+        eff = fps / (base_fps * n)
+        results[str(n)] = {"layout": [data, tile, disp],
+                           "fps": round(fps, 2),
+                           "efficiency_vs_1dev": round(eff, 3)}
+        print(f"{n} devices ({data},{tile},{disp}): {fps:.1f} frames/s "
+              f"(efficiency {eff:.2f})")
+    return results
+
+
+def run_batch_mode(args) -> dict:
+    rng = np.random.default_rng(0)
+    engine = ClassicalStereoEngine(_make_config(args))
+    results = {}
+    base_fps = None
+    for batch in (1, 2, 4, 8):
+        left = rng.integers(0, 256, (batch, 3, args.height,
+                                     args.width)).astype(np.float32)
+        right = np.roll(left, -4, axis=-1)
+        fps = _timed_fps(engine.compute_disparity_maps, left, right, batch,
+                         args.repeats)
+        if base_fps is None:
+            base_fps = fps
+        results[str(batch)] = {"fps": round(fps, 2),
+                               "per_frame_ms": round(1000 * batch / fps /
+                                                     batch, 3),
+                               "vs_batch1": round(fps / base_fps, 3)}
+        print(f"batch {batch}: {fps:.1f} frames/s "
+              f"({fps / base_fps:.2f}x batch-1)")
+    return results
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", choices=["mesh", "batch"],
+                        default=("batch" if jax.default_backend() == "tpu"
+                                 else "mesh"))
     parser.add_argument("--height", type=int, default=128)
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--max-disparity", type=int, default=15)
     parser.add_argument("--frames", type=int, default=16)
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--output-dir", default="results/scaling")
     args = parser.parse_args()
 
-    n_devices = len(jax.devices())
-    rng = np.random.default_rng(0)
-    results = {}
-    base_fps = None
+    meta = {"mode": args.mode, "backend": jax.default_backend(),
+            "n_devices": len(jax.devices()),
+            "virtual_devices": jax.default_backend() != "tpu",
+            "config": {"height": args.height, "width": args.width,
+                       "max_disparity": args.max_disparity}}
+    if args.mode == "mesh":
+        meta["results"] = run_mesh_mode(args)
+        if meta["virtual_devices"]:
+            meta["note"] = ("virtual CPU devices share physical cores: "
+                            "numbers exercise the collective paths, not "
+                            "chip scaling")
+    else:
+        meta["results"] = run_batch_mode(args)
+        meta["note"] = "single-chip weak scaling over batch size"
 
-    counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_devices]
-    for n in counts:
-        layout = mesh_layouts(n)
-        if layout is None:
-            continue
-        data, tile, disp = layout
-        cfg = MatchingConfig(
-            height=args.height, width=args.width, downscale_factor=2,
-            min_disparity=0, max_disparity=args.max_disparity,
-            cost_patch_radius=1, sad_patch_radius=2, threshold=5,
-            small_mbm_radius=1, mid_mbm_radius=1, large_mbm_radius=2)
-        engine = ShardedClassicalEngine(cfg, MeshConfig(data, tile, disp))
-        batch = max(args.frames - args.frames % data, data)
-        left = rng.integers(0, 256, (batch, 3, args.height,
-                                     args.width)).astype(np.float32)
-        right = np.roll(left, -4, axis=-1)
-        out = jax.block_until_ready(
-            engine.compute_disparity_maps(left, right))     # compile
-        best = float("inf")
-        for _ in range(args.repeats):
-            t0 = time.perf_counter()
-            out = jax.block_until_ready(
-                engine.compute_disparity_maps(left, right))
-            best = min(best, time.perf_counter() - t0)
-        fps = batch / best
-        if base_fps is None:
-            base_fps = fps
-        eff = fps / (base_fps * n)
-        results[n] = {"layout": layout, "fps": round(fps, 2),
-                      "efficiency_vs_1dev": round(eff, 3)}
-        print(f"{n} devices {layout}: {fps:.1f} frames/s "
-              f"(efficiency {eff:.2f})")
-
-    print(json.dumps(results))
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = os.path.join(args.output_dir, f"scaling_{args.mode}_"
+                       f"{meta['backend']}.json")
+    with open(out, "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps(meta))
+    print(f"Wrote {out}")
 
 
 if __name__ == "__main__":

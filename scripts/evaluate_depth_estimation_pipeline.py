@@ -25,7 +25,16 @@ from stereo_tpu.utils.paths import timestamp_folder_name
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--drive-dirs", nargs="+", required=True)
+    parser.add_argument("--drive-dirs", nargs="+", default=None)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="evaluate on held-out generated scenes with "
+                             "exact GT (no KITTI data needed)")
+    parser.add_argument("--n-frames", type=int, default=8,
+                        help="synthetic mode: frames per evaluation")
+    parser.add_argument("--image-shape", nargs=2, type=int,
+                        default=[256, 512], help="synthetic mode: (H, W)")
+    parser.add_argument("--seed", type=int, default=20260817,
+                        help="synthetic mode: held-out scene seed")
     parser.add_argument("--backends", nargs="+",
                         default=["classical", "gwcnet", "msnet3d"])
     parser.add_argument("--rvs", nargs="+", default=["off", "on"],
@@ -36,15 +45,27 @@ def main() -> None:
     parser.add_argument("--only-one", action="store_true",
                         help="one frame per drive (smoke run)")
     args = parser.parse_args()
+    if not args.synthetic and not args.drive_dirs:
+        parser.error("--drive-dirs is required without --synthetic")
 
+    def make_camera(drive, rvs):
+        if args.synthetic:
+            from stereo_tpu.pipeline.camera import SyntheticStereoCamera
+
+            return SyntheticStereoCamera(
+                n_frames=(1 if args.only_one else args.n_frames),
+                height=args.image_shape[0], width=args.image_shape[1],
+                return_right_view=(rvs == "off"), seed=args.seed)
+        return KittiSingleViewCamera(drive, return_right_view=(rvs == "off"),
+                                     only_one=args.only_one)
+
+    drives = args.drive_dirs if not args.synthetic else ["synthetic"]
     results = {}
-    for drive in args.drive_dirs:
+    for drive in drives:
         drive_key = os.path.basename(os.path.normpath(drive))
         for rvs in args.rvs:
             for backend in args.backends:
-                camera = KittiSingleViewCamera(
-                    drive, return_right_view=(rvs == "off"),
-                    only_one=args.only_one)
+                camera = make_camera(drive, rvs)
                 config = extract_config_from_camera(camera).update(
                     stereo_matching_backend=backend)
                 pipeline = DepthEstimationPipeline(config)

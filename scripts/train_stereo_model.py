@@ -1,5 +1,8 @@
 """Train a DNN stereo backend (GwcNet / MSNet2D / MSNet3D) on KITTI-2015-
-style data (left/right PNGs + uint16 disparity GT).
+style data (left/right PNGs + uint16 disparity GT) or — with
+``--synthetic`` — on procedurally generated stereo scenes created inside
+the jitted train step (no dataset required; see
+``stereo_tpu/train/synthetic.py``).
 
 The reference has no such script — it consumes pre-traced models only
 (SURVEY.md §2.3); this produces the checkpoints its DNN backends need.
@@ -9,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import json
 import os
 import sys
 
@@ -19,11 +23,36 @@ from stereo_tpu.train import Kitti2015StereoDataset, StereoTrainer
 from stereo_tpu.utils.paths import model_checkpoint_dir
 
 
+def train_synthetic(args) -> None:
+    from stereo_tpu.train import SyntheticStereoTrainer
+
+    trainer = SyntheticStereoTrainer(
+        args.model, max_disparity=args.max_disparity,
+        height=args.crop[0], width=args.crop[1],
+        batch_size=args.batch_size, learning_rate=args.learning_rate,
+        total_steps=args.steps, chunk=args.chunk)
+    losses = trainer.train(args.steps)
+    out_dir = args.checkpoint or (model_checkpoint_dir(args.model) + ".npz")
+    trainer.export(out_dir)
+    curve_path = os.path.join(os.path.dirname(os.path.abspath(out_dir)),
+                              f"{args.model}_synthetic_losses.json")
+    with open(curve_path, "w") as f:
+        json.dump({"model": args.model, "steps": args.steps,
+                   "losses": losses}, f)
+    print(f"Exported to {out_dir}; loss curve at {curve_path}")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", required=True,
                         choices=["gwcnet", "msnet2d", "msnet3d"])
-    parser.add_argument("--data-dir", required=True,
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on generated scenes (no dataset needed)")
+    parser.add_argument("--steps", type=int, default=2000,
+                        help="synthetic mode: number of train steps")
+    parser.add_argument("--chunk", type=int, default=20,
+                        help="synthetic mode: steps fused per dispatch")
+    parser.add_argument("--data-dir", default=None,
                         help="KITTI 2015 training root (image_2/ image_3/ "
                              "disp_occ_0/)")
     parser.add_argument("--max-disparity", type=int, default=192)
@@ -34,6 +63,12 @@ def main() -> None:
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--resume", action="store_true")
     args = parser.parse_args()
+
+    if args.synthetic:
+        train_synthetic(args)
+        return
+    if not args.data_dir:
+        parser.error("--data-dir is required without --synthetic")
 
     lefts = sorted(glob.glob(os.path.join(args.data_dir, "image_2", "*_10.png")))
     rights = sorted(glob.glob(os.path.join(args.data_dir, "image_3", "*_10.png")))

@@ -79,6 +79,44 @@ def load_params(checkpoint_dir: str, template=None):
     return checkpointer.restore(path)
 
 
+def save_params_npz(variables, npz_path: str) -> None:
+    """Compact single-file checkpoint: float params stored as float16
+    (batch_stats kept float32 — running variances can exceed f16 range),
+    zip-compressed.  ~4x smaller than the Orbax tree; the format committed
+    to the repo for shipped weights."""
+    import numpy as np
+
+    flat = {}
+    for key_path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
+        key = jax.tree_util.keystr(key_path)
+        arr = np.asarray(leaf)
+        if arr.dtype == np.float32 and "batch_stats" not in key:
+            arr = arr.astype(np.float16)
+        flat[key] = arr
+    os.makedirs(os.path.dirname(os.path.abspath(npz_path)), exist_ok=True)
+    np.savez_compressed(npz_path, **flat)
+
+
+def load_params_npz(npz_path: str):
+    """Restore a :func:`save_params_npz` checkpoint (floats back to f32)."""
+    import re
+
+    import numpy as np
+
+    data = np.load(npz_path)
+    variables: dict = {}
+    for key in data.files:
+        parts = re.findall(r"\['([^']+)'\]", key)
+        node = variables
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        arr = data[key]
+        if arr.dtype == np.float16:
+            arr = arr.astype(np.float32)
+        node[parts[-1]] = jnp.asarray(arr)
+    return variables
+
+
 def load_or_init_params(model, name: str, image_shape: Tuple[int, int],
                         checkpoint_dir: Optional[str] = None, seed: int = 0):
     """Restore trained parameters if a checkpoint exists, else initialize.
@@ -91,7 +129,14 @@ def load_or_init_params(model, name: str, image_shape: Tuple[int, int],
     candidates = [checkpoint_dir] if checkpoint_dir else []
     candidates.append(model_checkpoint_dir(name))
     for cand in candidates:
-        if cand and os.path.isdir(cand) and os.listdir(cand):
+        if not cand:
+            continue
+        if os.path.isfile(cand) and cand.endswith(".npz"):
+            return load_params_npz(cand)
+        npz = cand + ".npz"
+        if os.path.isfile(npz):
+            return load_params_npz(npz)
+        if os.path.isdir(cand) and os.listdir(cand):
             return load_params(cand)
     return init_stereo_params(model, image_shape, seed)
 

@@ -13,6 +13,22 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# Each candidate position adds one select op to the HLO, so cost and compile
+# time are O(D/step).  That is the right trade at this pipeline's scales
+# (D <= ~100 downscaled planes; Middlebury is 94), but a config with
+# thousands of candidate positions would bloat the program quadratically —
+# fail loudly instead of silently compiling a monster.  Configs that large
+# should use the Pallas streamed kernels (ops/pallas), which are O(1) in D.
+_MAX_UNROLLED_POSITIONS = 512
+
+
+def _check_positions(n: int) -> None:
+    if n > _MAX_UNROLLED_POSITIONS:
+        raise ValueError(
+            f"masked-select gather would unroll {n} positions "
+            f"(> {_MAX_UNROLLED_POSITIONS}); use the Pallas path "
+            "(impl='pallas') for disparity counts this large")
+
 
 def take_window_lanes(volume: jnp.ndarray, start: jnp.ndarray, width: int,
                       step: int = 1) -> jnp.ndarray:
@@ -23,6 +39,7 @@ def take_window_lanes(volume: jnp.ndarray, start: jnp.ndarray, width: int,
     step)`` (positions off that grid yield zeros).
     """
     num = volume.shape[-1]
+    _check_positions(max(num - width, 0) // step + 1)
     start = start.astype(jnp.int32)
     out = jnp.zeros(volume.shape[:-1] + (width,), volume.dtype)
     for t0 in range(0, num - width + 1, step):
@@ -34,6 +51,7 @@ def take_window_lanes(volume: jnp.ndarray, start: jnp.ndarray, width: int,
 def take_lane(volume: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
     """``out[...] = volume[..., index[...]]`` — width-1, step-1 case."""
     num = volume.shape[-1]
+    _check_positions(num)
     index = index.astype(jnp.int32)
     out = jnp.zeros(volume.shape[:-1], volume.dtype)
     for t in range(num):

@@ -186,17 +186,29 @@ def _matching_core_kernel(ld_hbm, rd_hbm, disp_ref, mbm_ref, ld_v, rd_v,
 
 
 def matching_core(left_down: jnp.ndarray, right_down: jnp.ndarray,
-                  config: MatchingConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  config: MatchingConfig,
+                  rows_prepadded: bool = False
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Downscaled pair -> (disparity_down, mbm_costs).
 
     ``disparity_down``: (H_d, W_d) float WTA winners in downscaled units
     (including the min-disparity offset).  ``mbm_costs``: (3, H_d, W_d) —
     aggregated cost at (winner-1, winner, winner+1) with mod-D wrap.
+
+    With ``rows_prepadded=True`` the inputs already carry
+    ``large_mbm_radius + cost_patch_radius`` extra rows top and bottom
+    (e.g. from the sharded engine's ring halo exchange) and only columns
+    are wrap-padded here — the composition point for running this kernel
+    per row-shard under ``shard_map``.
     """
     c = config
-    h_d, w_d = left_down.shape
     num_d = c.num_disparities_down
     halo = c.large_mbm_radius + c.cost_patch_radius
+    if rows_prepadded:
+        h_d = left_down.shape[0] - 2 * halo
+    else:
+        h_d = left_down.shape[0]
+    w_d = left_down.shape[1]
     # Output blocks must be 8-row aligned; heights without an aligned
     # divisor (Middlebury: 540) run on a padded grid and crop the result.
     tile = _row_tile(h_d, 64)
@@ -208,11 +220,12 @@ def matching_core(left_down: jnp.ndarray, right_down: jnp.ndarray,
     # wrap pre-pad (pad_index semantics); right additionally padded left so
     # every disparity's shift (min_disparity_down + d) is a static slice.
     max_shift = c.min_disparity_down + num_d - 1
-    ld_pad = jnp.pad(left_down, ((halo, halo), (halo, halo)), mode="wrap")
+    row_pad = (0, 0) if rows_prepadded else (halo, halo)
+    ld_pad = jnp.pad(left_down, (row_pad, (halo, halo)), mode="wrap")
     # right extent needed is halo - min_shift, which can go negative when
     # the minimum disparity exceeds the halo (Middlebury: min_dd 37 > 11)
     right_cols = max(halo - c.min_disparity_down, 0)
-    rd_pad = jnp.pad(right_down, ((halo, halo),
+    rd_pad = jnp.pad(right_down, (row_pad,
                                   (halo + max_shift, right_cols)),
                      mode="wrap")
     ld_cols, rd_cols = ld_pad.shape[1], rd_pad.shape[1]
@@ -332,10 +345,15 @@ def _sampled_window_kernel(lg_hbm, rg_hbm, didx_ref, win_ref, lg_v, rg_v,
 
 
 def sampled_window(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
-                   disparity_down: jnp.ndarray, config: MatchingConfig
-                   ) -> jnp.ndarray:
+                   disparity_down: jnp.ndarray, config: MatchingConfig,
+                   rows_prepadded: bool = False) -> jnp.ndarray:
     """Full-res pair + WTA winners -> (2k+3, H_d, W_d) per-pixel dense-SAD
-    windows (tap s = similarity at full-res disparity k*(d_mbm-1)-1+s)."""
+    windows (tap s = similarity at full-res disparity k*(d_mbm-1)-1+s).
+
+    With ``rows_prepadded=True`` the grayscale inputs already carry
+    ``sad_patch_radius`` extra full-res rows top and bottom (sharded
+    engine: sliced from the ring halo exchange) and only columns are
+    wrap-padded here."""
     c = config
     k = c.k
     sad_r = c.sad_patch_radius
@@ -352,13 +370,13 @@ def sampled_window(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
     h_pad = _round_up(h_d, tile)
     band = k * tile + 2 * sad_r
 
-    lg_pad = jnp.pad(left_gray, ((sad_r, sad_r), (sad_r, sad_r)),
-                     mode="wrap")
+    row_pad = (0, 0) if rows_prepadded else (sad_r, sad_r)
+    lg_pad = jnp.pad(left_gray, (row_pad, (sad_r, sad_r)), mode="wrap")
     # After rolling right by (d_start + num_dense - 1), the static slice at
     # offset (num_dense - 1 - t) reproduces roll(right, d_start + t) —
     # i.e. column y - (d_start + t) with mod-W wrap — under column y.
     rg_roll = jnp.roll(right_gray, d_start + num_dense - 1, axis=-1)
-    rg_pad = jnp.pad(rg_roll, ((sad_r, sad_r),
+    rg_pad = jnp.pad(rg_roll, (row_pad,
                                (sad_r, sad_r + num_dense - 1)), mode="wrap")
     lg_cols, rg_cols = lg_pad.shape[1], rg_pad.shape[1]
 

@@ -96,7 +96,12 @@ class DepthEstimationPipeline:
         cfg = self._config
         name = cfg.stereo_matching_backend
         if name in AVAILABLE_DNN_BACKENDS:
-            return DnnStereoMatchingBackend(name, image_shape=cfg.image_shape)
+            # Cost-volume depth follows the camera's disparity range (div-4
+            # for the 1/4-resolution volume); the networks are fully
+            # convolutional so the same parameters serve any depth.
+            model_d = max(32, -(-int(cfg.max_disparity) // 4) * 4)
+            return DnnStereoMatchingBackend(name, image_shape=cfg.image_shape,
+                                            max_disparity=model_d)
         if name in ("classical", "cuda"):  # "cuda" kept as a parity alias
             if cfg.mesh is not None and cfg.mesh.num_devices > 1:
                 from .backends import ShardedClassicalBackend

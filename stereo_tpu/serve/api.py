@@ -17,8 +17,10 @@ from __future__ import annotations
 
 import io
 import json
+import queue
 import re
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -65,20 +67,108 @@ def _extract_multipart_file(body: bytes, content_type: str) -> Optional[bytes]:
     return None
 
 
+class MicroBatcher:
+    """Coalesces concurrent single-frame requests into device batches.
+
+    Serving threads ``submit()`` a frame and block on its future; one
+    worker thread drains the queue, groups up to ``max_batch`` frames
+    (waiting at most ``max_wait_ms`` after the first), pads the group to
+    the fixed batch shape (a single compiled executable — no per-size
+    recompiles), and runs ``pipeline.process_batch`` once per group.  At
+    ~ms/frame engine latency the pad waste is far cheaper than per-request
+    dispatch serialization.
+    """
+
+    def __init__(self, pipeline: DepthEstimationPipeline, max_batch: int = 4,
+                 max_wait_ms: float = 4.0):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._queue: "queue.Queue" = queue.Queue()
+        self.batches_run = 0
+        self.frames_run = 0
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, left_chw: np.ndarray):
+        from concurrent.futures import Future
+
+        future: Future = Future()
+        self._queue.put((left_chw, future))
+        return future
+
+    def _drain_group(self):
+        item = self._queue.get()
+        if item is None:
+            return None
+        group = [item]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(group) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)   # re-post shutdown for the outer loop
+                break
+            group.append(nxt)
+        return group
+
+    def _loop(self) -> None:
+        while True:
+            group = self._drain_group()
+            if group is None:
+                return
+            lefts = np.stack([left for left, _ in group])
+            pad = self.max_batch - len(group)
+            if pad:
+                lefts = np.concatenate(
+                    [lefts, np.repeat(lefts[-1:], pad, axis=0)])
+            try:
+                result = self.pipeline.process_batch(lefts, None)
+                disparities = np.asarray(result.disparity_map)
+            except Exception as exc:  # noqa: BLE001 — propagate per-request
+                for _, future in group:
+                    future.set_exception(exc)
+                continue
+            self.batches_run += 1
+            self.frames_run += len(group)
+            for i, (_, future) in enumerate(group):
+                future.set_result(disparities[i])
+
+    def shutdown(self) -> None:
+        self._queue.put(None)
+        self._worker.join(timeout=5)
+
+
 class DepthEstimationServer:
-    """Owns the pipeline singleton and the HTTP server."""
+    """Owns the pipeline singleton and the HTTP server.
+
+    ``micro_batch > 1`` enables request coalescing: concurrent uploads are
+    batched into one device dispatch instead of serializing on a lock.
+    """
 
     def __init__(self, config: PipelineConfig = PipelineConfig(),
-                 pipeline: Optional[DepthEstimationPipeline] = None):
+                 pipeline: Optional[DepthEstimationPipeline] = None,
+                 micro_batch: int = 1):
         self.config = config
         self.pipeline = pipeline or DepthEstimationPipeline(config)
         self._lock = threading.Lock()
+        self.batcher = (MicroBatcher(self.pipeline, max_batch=micro_batch)
+                        if micro_batch > 1 else None)
 
     def run_pipeline(self, png_bytes: bytes) -> bytes:
         left = decode_png_to_pipeline_image(png_bytes, self.config.image_shape)
-        with self._lock:   # one jitted engine; requests serialize on-device
-            result = self.pipeline.process(left, None)
-        return encode_disparity_png(np.asarray(result.disparity_map))
+        if self.batcher is not None:
+            disparity = self.batcher.submit(left).result(timeout=120)
+        else:
+            with self._lock:   # one jitted engine; requests serialize
+                result = self.pipeline.process(left, None)
+                disparity = np.asarray(result.disparity_map)
+        return encode_disparity_png(disparity)
 
     def make_handler(self):
         server = self
@@ -159,13 +249,18 @@ def main() -> None:
     parser.add_argument("--height", type=int, default=384)
     parser.add_argument("--width", type=int, default=1280)
     parser.add_argument("--max-disparity", type=int, default=64)
+    parser.add_argument("--micro-batch", type=int, default=1,
+                        help=">1 coalesces concurrent requests into device "
+                             "batches")
     args = parser.parse_args()
 
     config = PipelineConfig(image_shape=(args.height, args.width),
                             min_disparity=0,
                             max_disparity=args.max_disparity,
                             stereo_matching_backend=args.backend)
-    DepthEstimationServer(config).serve(args.host, args.port)
+    DepthEstimationServer(config,
+                          micro_batch=args.micro_batch).serve(args.host,
+                                                              args.port)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,358 @@
+"""On-device synthetic stereo scenes + training loops that consume them.
+
+No stereo dataset ships in this container, and the reference's own training
+path assumes KITTI raw drives on disk
+(``scripts/train_right_view_synthesis_model.py:24-30``).  To make the DNN
+backends *real* (trained, not random-init), this module provides a
+procedural stereo-scene generator that is pure ``jax.numpy`` — it runs
+INSIDE the jitted train step, on the accelerator, keyed by a PRNG key.  No
+host-side data loading, no host->device transfer of batches: generation,
+forward, backward, and the optimizer update are one fused XLA program.
+
+Scene model
+-----------
+A scene is a stack of fronto-parallel textured layers (background + rects),
+painted far-to-near so occlusions are geometrically consistent in BOTH
+views.  Each layer has one disparity ``d`` (fractional allowed) and a
+procedural texture ``T(x, yw)`` (mixed sinusoid gratings + a shader-hash
+noise term) evaluated at *world* column coordinates:
+
+* right view samples ``T(x, y)``            (world coords == right coords)
+* left  view samples ``T(x, y - d)``        (content shifts right by d)
+
+so ``right[y] = left[y + d]`` — the same convention as the reference's
+Deep3D shift stack (``deep3d.py:177-180``) and the classical matcher.
+Ground-truth disparity is painted in left-frame coordinates with the same
+near-last order, so occluded pixels carry the occluder's disparity —
+exactly what a left-frame GT map means.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_N_GRATINGS = 6
+
+
+def _layer_texture(key: jax.Array, x_hw: jnp.ndarray,
+                   yw_hw: jnp.ndarray) -> jnp.ndarray:
+    """Procedural layer texture at world coords -> (3, H, W) in 0..255.
+
+    A base color plus ``_N_GRATINGS`` oriented sinusoid gratings with
+    log-uniform periods (4..128 px, incommensurate — resolves periodic
+    matching ambiguity) plus a low-amplitude high-frequency hash-noise
+    term.  Being a closed-form function of (x, yw), it can be evaluated at
+    fractionally shifted coordinates exactly — fractional disparities give
+    exact subpixel training targets.
+    """
+    kb, kf, kp, ka, kg = jax.random.split(key, 5)
+    base = jax.random.uniform(kb, (3, 1, 1), minval=60.0, maxval=195.0)
+    period_log2 = jax.random.uniform(kf, (_N_GRATINGS,), minval=2.0,
+                                     maxval=7.0)
+    freq = (2.0 * jnp.pi) / (2.0 ** period_log2)
+    angle = jax.random.uniform(kp, (_N_GRATINGS,), maxval=2.0 * jnp.pi)
+    phase = jax.random.uniform(ka, (_N_GRATINGS,), maxval=2.0 * jnp.pi)
+    gains = jax.random.uniform(kg, (3, _N_GRATINGS), minval=-28.0,
+                               maxval=28.0)
+    fx = freq * jnp.sin(angle)
+    fy = freq * jnp.cos(angle)
+    waves = jnp.sin(fx[:, None, None] * x_hw[None]
+                    + fy[:, None, None] * yw_hw[None]
+                    + phase[:, None, None])                 # (G, H, W)
+    img = base + jnp.einsum("cg,ghw->chw", gains, waves)
+    # Shader-style hash noise: deterministic in world coords, consistent
+    # across the two views, high-frequency texture for local matching.
+    hash_val = jnp.sin(x_hw * 12.9898 + yw_hw * 78.233) * 43758.5453
+    noise = (hash_val - jnp.floor(hash_val)) - 0.5
+    img = img + 14.0 * noise[None]
+    return jnp.clip(img, 0.0, 255.0)
+
+
+def synthetic_stereo_scene(
+        key: jax.Array, height: int, width: int,
+        min_disparity: float = 6.0, max_disparity: float = 58.0,
+        n_layers: int = 6) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One scene -> ``(left (3,H,W), right (3,H,W), gt_disparity (H,W))``,
+    images float32 in 0..255 (the pipeline's camera contract), GT in
+    left-frame full-resolution pixels.  Pure-jnp; jit/vmap safe."""
+    x_hw = jnp.broadcast_to(
+        jnp.arange(height, dtype=jnp.float32)[:, None], (height, width))
+    y_hw = jnp.broadcast_to(
+        jnp.arange(width, dtype=jnp.float32)[None, :], (height, width))
+
+    kd, kbg, klayers = jax.random.split(key, 3)
+    ds = jnp.sort(jax.random.uniform(
+        kd, (n_layers,), minval=min_disparity, maxval=max_disparity))
+
+    right = _layer_texture(kbg, x_hw, y_hw)
+    left = _layer_texture(kbg, x_hw, y_hw - ds[0])
+    disparity = jnp.full((height, width), ds[0])
+
+    def body(i, state):
+        left, right, disparity = state
+        k = jax.random.fold_in(klayers, i)
+        kr, kt = jax.random.split(k)
+        d = ds[i]
+        k1, k2, k3, k4 = jax.random.split(kr, 4)
+        rect_h = jax.random.uniform(k1, minval=height / 6, maxval=height / 2)
+        rect_w = jax.random.uniform(k2, minval=width / 8, maxval=width / 3)
+        x0 = jax.random.uniform(k3, minval=-rect_h / 4,
+                                maxval=height - rect_h * 0.75)
+        y0 = jax.random.uniform(k4, minval=-rect_w / 4,
+                                maxval=width - rect_w * 0.75)
+
+        def rect_mask(yw):
+            return ((x_hw >= x0) & (x_hw < x0 + rect_h)
+                    & (yw >= y0) & (yw < y0 + rect_w))
+
+        mask_r = rect_mask(y_hw)
+        mask_l = rect_mask(y_hw - d)
+        tex_r = _layer_texture(kt, x_hw, y_hw)
+        tex_l = _layer_texture(kt, x_hw, y_hw - d)
+        right = jnp.where(mask_r[None], tex_r, right)
+        left = jnp.where(mask_l[None], tex_l, left)
+        disparity = jnp.where(mask_l, d, disparity)
+        return left, right, disparity
+
+    left, right, disparity = lax.fori_loop(
+        1, n_layers, body, (left, right, disparity))
+    return left, right, disparity
+
+
+def synthetic_stereo_batch(key: jax.Array, batch_size: int, height: int,
+                           width: int, min_disparity: float = 6.0,
+                           max_disparity: float = 58.0, n_layers: int = 6):
+    """vmapped scenes -> ``(left (N,3,H,W), right, gt (N,H,W))``."""
+    keys = jax.random.split(key, batch_size)
+    return jax.vmap(lambda k: synthetic_stereo_scene(
+        k, height, width, min_disparity, max_disparity, n_layers))(keys)
+
+
+# ---------------------------------------------------------------------------
+# Stereo-network training on generated scenes
+# ---------------------------------------------------------------------------
+
+class SyntheticStereoTrainer:
+    """Trains a stereo network (gwcnet / msnet2d / msnet3d) entirely
+    on-device: a ``lax.scan`` chunk of steps — each generating its own batch
+    — runs as ONE dispatch, so the ~30 ms tunnel RPC and the ~1.3 MB/s
+    host->device bandwidth never touch the training loop.
+
+    The reference has no trainer for these nets (it consumes opaque traced
+    models, ``dnn_stereo_matching_backend.py:9-13``); this is the subsystem
+    that makes the DNN backends produce meaningful disparities.
+    """
+
+    def __init__(self, model_name: str, max_disparity: int = 64,
+                 height: int = 256, width: int = 512, batch_size: int = 4,
+                 learning_rate: float = 1e-3, weight_decay: float = 1e-4,
+                 warmup_steps: int = 100, total_steps: int = 2000,
+                 min_scene_disparity: float = 6.0,
+                 max_scene_disparity: Optional[float] = None,
+                 chunk: int = 20, seed: int = 0):
+        import optax
+
+        from ..models import build_stereo_model, gwcnet_loss, init_stereo_params, msnet_loss
+        from ..pipeline.backends import normalize_imagenet
+
+        if max_scene_disparity is None:
+            max_scene_disparity = max_disparity - 6.0
+        self.model_name = model_name
+        self.model = build_stereo_model(model_name, max_disparity)
+        self.max_disparity = max_disparity
+        self.chunk = chunk
+        self.total_steps = total_steps
+        self._gen = functools.partial(
+            synthetic_stereo_batch, batch_size=batch_size, height=height,
+            width=width, min_disparity=min_scene_disparity,
+            max_disparity=max_scene_disparity)
+        loss_fn = gwcnet_loss if model_name == "gwcnet" else msnet_loss
+
+        variables = init_stereo_params(self.model, (height, width), seed)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=learning_rate * 0.05, peak_value=learning_rate,
+            warmup_steps=warmup_steps, decay_steps=total_steps,
+            end_value=learning_rate * 0.02)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(5.0),
+            optax.adamw(schedule, weight_decay=weight_decay))
+        self.opt_state = self.optimizer.init(self.params)
+        self.key = jax.random.PRNGKey(seed + 1)
+        self.step_count = 0
+
+        model, optimizer, gen = self.model, self.optimizer, self._gen
+        max_d = float(max_disparity)
+
+        def one_step(carry, _):
+            params, bstats, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            left, right, gt = gen(sub)
+            mask = (gt > 0.0) & (gt < max_d)
+
+            def loss(p):
+                outs, mutated = model.apply(
+                    {"params": p, "batch_stats": bstats},
+                    normalize_imagenet(left), normalize_imagenet(right),
+                    train=True, mutable=["batch_stats"])
+                return loss_fn(outs, gt, mask), mutated["batch_stats"]
+
+            (value, new_stats), grads = jax.value_and_grad(
+                loss, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_stats, opt_state, key), value
+
+        def run_chunk(params, bstats, opt_state, key):
+            (params, bstats, opt_state, key), losses = lax.scan(
+                one_step, (params, bstats, opt_state, key), None,
+                length=self.chunk)
+            return params, bstats, opt_state, key, losses
+
+        self._run_chunk = jax.jit(run_chunk, donate_argnums=(0, 1, 2))
+
+    def train(self, n_steps: Optional[int] = None,
+              log_every_chunks: int = 5) -> List[float]:
+        """Run ``n_steps`` (rounded up to whole chunks); returns per-step
+        losses."""
+        import time
+
+        n_steps = n_steps if n_steps is not None else self.total_steps
+        n_chunks = -(-n_steps // self.chunk)
+        all_losses: List[float] = []
+        start = time.time()
+        for c in range(n_chunks):
+            self.params, self.batch_stats, self.opt_state, self.key, losses = \
+                self._run_chunk(self.params, self.batch_stats, self.opt_state,
+                                self.key)
+            losses = np.asarray(losses)
+            all_losses.extend(float(v) for v in losses)
+            self.step_count += self.chunk
+            if log_every_chunks and (c % log_every_chunks == 0
+                                     or c == n_chunks - 1):
+                print(f"[{self.model_name}] step {self.step_count}: "
+                      f"loss {losses.mean():.4f} "
+                      f"({time.time() - start:.1f}s)", flush=True)
+        return all_losses
+
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def export(self, checkpoint_path: str) -> None:
+        """Write inference variables: compact ``.npz`` (the committed
+        format) when the path ends in .npz, else an Orbax tree."""
+        from ..models import save_params, save_params_npz
+
+        variables = jax.device_get(self.variables())
+        if checkpoint_path.endswith(".npz"):
+            save_params_npz(variables, checkpoint_path)
+        else:
+            save_params(variables, checkpoint_path)
+
+
+# ---------------------------------------------------------------------------
+# Deep3D (right-view synthesis) training on generated scenes
+# ---------------------------------------------------------------------------
+
+class SyntheticDeep3DTrainer:
+    """Trains Deep3D to synthesize the right view from the left, using the
+    same on-device scene generator (reference analog:
+    ``pipeline/synthesis/trainer.py:49-74`` — L1 loss, Adam 2e-4 — but with
+    generated stereo pairs instead of KITTI drives).
+
+    ``height``/``width`` must make ``(H/4, W/4)`` divisible by 32 (the VGG
+    stride on the downscaled branch).
+    """
+
+    def __init__(self, height: int = 256, width: int = 512,
+                 batch_size: int = 2, learning_rate: float = 2e-4,
+                 weight_decay: float = 1e-4, chunk: int = 10, seed: int = 0,
+                 max_scene_disparity: float = 58.0):
+        import optax
+
+        from ..models import Deep3D
+
+        self.model = Deep3D()
+        self.height, self.width = height, width
+        key = jax.random.PRNGKey(seed)
+        full = jnp.zeros((1, 3, height, width), jnp.float32)
+        down = jnp.zeros((1, 3, height // 4, width // 4), jnp.float32)
+        variables = self.model.init({"params": key, "dropout": key}, full,
+                                    down, train=True)
+        self.params = variables["params"]
+        self.optimizer = optax.adamw(learning_rate,
+                                     weight_decay=weight_decay)
+        self.opt_state = self.optimizer.init(self.params)
+        self.key = jax.random.PRNGKey(seed + 1)
+        self.chunk = chunk
+        self.step_count = 0
+        model, optimizer = self.model, self.optimizer
+        gen = functools.partial(
+            synthetic_stereo_batch, batch_size=batch_size, height=height,
+            width=width, min_disparity=2.0,
+            max_disparity=max_scene_disparity)
+
+        def one_step(carry, _):
+            params, opt_state, key = carry
+            key, kgen, kdrop = jax.random.split(key, 3)
+            left, right, _ = gen(kgen)
+            left = left / 255.0
+            right = right / 255.0
+            down = _mean_pool_nchw(left, 4)
+
+            def loss(p):
+                pred = model.apply({"params": p}, left, down, train=True,
+                                   rngs={"dropout": kdrop})
+                return jnp.abs(pred - right).mean()
+
+            value, grads = jax.value_and_grad(loss)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), value
+
+        def run_chunk(params, opt_state, key):
+            (params, opt_state, key), losses = lax.scan(
+                one_step, (params, opt_state, key), None, length=self.chunk)
+            return params, opt_state, key, losses
+
+        self._run_chunk = jax.jit(run_chunk, donate_argnums=(0, 1))
+
+    def train(self, n_steps: int, log_every_chunks: int = 5) -> List[float]:
+        import time
+
+        n_chunks = -(-n_steps // self.chunk)
+        all_losses: List[float] = []
+        start = time.time()
+        for c in range(n_chunks):
+            self.params, self.opt_state, self.key, losses = self._run_chunk(
+                self.params, self.opt_state, self.key)
+            losses = np.asarray(losses)
+            all_losses.extend(float(v) for v in losses)
+            self.step_count += self.chunk
+            if log_every_chunks and (c % log_every_chunks == 0
+                                     or c == n_chunks - 1):
+                print(f"[deep3d] step {self.step_count}: "
+                      f"loss {losses.mean():.4f} "
+                      f"({time.time() - start:.1f}s)", flush=True)
+        return all_losses
+
+    def export(self, checkpoint_path: str) -> None:
+        from ..models import save_params, save_params_npz
+
+        variables = jax.device_get({"params": self.params})
+        if checkpoint_path.endswith(".npz"):
+            save_params_npz(variables, checkpoint_path)
+        else:
+            save_params(variables, checkpoint_path)
+
+
+def _mean_pool_nchw(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    n, c, h, w = x.shape
+    return x.reshape(n, c, h // k, k, w // k, k).mean(axis=(3, 5))

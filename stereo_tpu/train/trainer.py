@@ -30,9 +30,20 @@ from .kitti_dataset import KittiStereoDataset, batch_iterator
 
 
 def make_optimizer(config: TrainerConfig) -> optax.GradientTransformation:
-    return optax.adamw(learning_rate=config.learning_rate,
-                       b1=config.momentum, b2=0.999,
-                       weight_decay=config.weight_decay)
+    """AdamW with an injectable learning rate (for the StepLR schedule).
+
+    The reference declares ``step_size``/``gamma`` (torch StepLR
+    hyperparameters, ``trainer.py:21-22``) but never constructs a
+    scheduler; here they are actually honored — see
+    :func:`step_lr_for_epoch`."""
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=config.learning_rate, b1=config.momentum, b2=0.999,
+        weight_decay=config.weight_decay)
+
+
+def step_lr_for_epoch(config: TrainerConfig, epoch: int) -> float:
+    """torch ``StepLR`` semantics: lr * gamma^(epoch // step_size)."""
+    return config.learning_rate * (config.gamma ** (epoch // config.step_size))
 
 
 class Trainer:
@@ -79,6 +90,8 @@ class Trainer:
         for epoch in range(self.epoch, n_epochs):
             start = time.time()
             losses = []
+            self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                step_lr_for_epoch(cfg, epoch), jnp.float32)
             it = batch_iterator(dataset, cfg.batch_size, shuffle=True,
                                 seed=epoch)
             for step, (left_full, left_down, right_full) in enumerate(it):

@@ -256,3 +256,15 @@ class TestEndToEnd:
             jnp.asarray(left), jnp.asarray(right), cfg))
         interior = got[4:-4, 24:-24]
         np.testing.assert_allclose(interior, true_d, atol=0.51)
+
+
+class TestGatherGuards:
+    def test_unroll_ceiling_raises(self):
+        from stereo_tpu.ops.gather import take_lane, take_window_lanes
+
+        big = jnp.zeros((2, 2, 600))
+        idx = jnp.zeros((2, 2), jnp.int32)
+        with pytest.raises(ValueError, match="pallas"):
+            take_lane(big, idx)
+        with pytest.raises(ValueError, match="pallas"):
+            take_window_lanes(big, idx, width=3, step=1)

@@ -18,7 +18,15 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(DEMO_DIR), reason="reference demo data not mounted")
 
 
-def test_middlebury_demo_golden_stats():
+GOLDEN_NPZ = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "golden", "middlebury_demo_disparity.npz")
+
+
+def test_middlebury_demo_golden_per_pixel():
+    """Per-pixel checksum gate: the committed golden disparity map was
+    captured by this engine (CPU XLA path, bit-identical to the TPU
+    Pallas path per the equivalence suite); any semantic drift in ANY of
+    the 8 classical stages fails this exactly."""
     from PIL import Image
 
     from stereo_tpu.core.config import MatchingConfig
@@ -32,7 +40,9 @@ def test_middlebury_demo_golden_stats():
     disp = np.asarray(engine.compute_disparity_map(left, right))
 
     assert disp.shape == (1080, 1920)
+    golden = np.load(GOLDEN_NPZ)["disparity"]
+    np.testing.assert_allclose(disp, golden, rtol=0, atol=1e-6)
+    # keep the human-readable stats as documentation of what the map is
     in_range = float(np.mean((disp >= 75) & (disp <= 262)))
-    # golden values measured on TPU v5e and reproduced on CPU
     assert abs(float(disp.mean()) - 158.50) < 0.2
     assert abs(in_range - 0.9549) < 0.005

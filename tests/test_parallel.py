@@ -5,6 +5,8 @@ exchange, blockwise cost volume, cross-chip argmax, and psum-gathered
 refinement must not change a single output value.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -135,3 +137,27 @@ class TestMeshFactors:
             if n > 1:
                 # at least one collective-bearing axis must be > 1
                 assert tile > 1 or disp > 1, (n, data, tile, disp)
+
+
+class TestShardedPallasEquivalence:
+    """The Pallas kernels composed under shard_map (ring-halo prepadded
+    inputs) must be bit-equal to the jnp sharded path and the single-device
+    engine (kernels run in interpret mode on CPU)."""
+
+    @pytest.mark.parametrize("mesh_cfg", [
+        MeshConfig(data=1, tile=1, disp=1),
+        MeshConfig(data=1, tile=4, disp=1),
+        MeshConfig(data=2, tile=2, disp=1),
+    ], ids=["single", "tile4", "dp2tile2"])
+    def test_matches_single_device(self, mesh_cfg, reference_disparity):
+        left, right, want = reference_disparity
+        cfg = dataclasses.replace(CFG, impl="pallas")
+        engine = ShardedClassicalEngine(cfg, mesh_cfg)
+        assert engine.use_pallas
+        got = np.asarray(engine.compute_disparity_maps(left, right))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_pallas_rejects_disp_sharding(self):
+        with pytest.raises(ValueError):
+            ShardedClassicalEngine(
+                dataclasses.replace(CFG, impl="pallas"), MeshConfig(disp=4))

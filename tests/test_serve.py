@@ -138,3 +138,58 @@ class TestMultipartParser:
         got = _extract_multipart_file(
             body, f"multipart/form-data; boundary={boundary}")
         assert got == b"payload"
+
+
+class TestMicroBatcher:
+    class _StubPipeline:
+        """Records batch sizes; 1st call is slow so later submits queue up."""
+
+        def __init__(self):
+            self.batch_sizes = []
+            self._first = True
+
+        def process_batch(self, lefts, rights):
+            import time as _time
+            from types import SimpleNamespace
+
+            assert rights is None
+            self.batch_sizes.append(lefts.shape[0])
+            if self._first:
+                self._first = False
+                _time.sleep(0.3)
+            return SimpleNamespace(disparity_map=lefts.sum(axis=1))
+
+    def test_coalesces_concurrent_requests(self):
+        from stereo_tpu.serve.api import MicroBatcher
+
+        stub = self._StubPipeline()
+        batcher = MicroBatcher(stub, max_batch=4, max_wait_ms=50.0)
+        frames = [np.full((3, 4, 6), float(i), np.float32) for i in range(5)]
+        futures = [batcher.submit(f) for f in frames]
+        results = [f.result(timeout=10) for f in futures]
+        batcher.shutdown()
+
+        # every request got its own frame's answer
+        for i, r in enumerate(results):
+            np.testing.assert_allclose(r, 3.0 * i)
+        # first went alone (worker was idle); the rest coalesced into one
+        # padded batch while the slow first dispatch ran
+        assert stub.batch_sizes[0] == 4          # padded to max_batch
+        assert len(stub.batch_sizes) <= 3
+        assert batcher.frames_run == 5
+        assert batcher.batches_run < 5
+
+    def test_error_propagates_to_all_waiters(self):
+        from stereo_tpu.serve.api import MicroBatcher
+
+        class Exploding:
+            def process_batch(self, lefts, rights):
+                raise RuntimeError("engine down")
+
+        batcher = MicroBatcher(Exploding(), max_batch=2, max_wait_ms=20.0)
+        futures = [batcher.submit(np.zeros((3, 4, 6), np.float32))
+                   for _ in range(2)]
+        for f in futures:
+            with pytest.raises(RuntimeError, match="engine down"):
+                f.result(timeout=10)
+        batcher.shutdown()

@@ -154,3 +154,15 @@ class TestGroundTruthDecoding:
         ds = Kitti2015StereoDataset([l], [r], [d], crop=(8, 16))
         _, _, disp = ds.load(0, np.random.default_rng(0))
         np.testing.assert_allclose(disp, 100.0)
+
+
+class TestStepLR:
+    def test_step_lr_schedule_values(self):
+        from stereo_tpu.core.config import TrainerConfig
+        from stereo_tpu.train.trainer import step_lr_for_epoch
+
+        cfg = TrainerConfig(learning_rate=1e-3, step_size=2, gamma=0.1)
+        assert step_lr_for_epoch(cfg, 0) == pytest.approx(1e-3)
+        assert step_lr_for_epoch(cfg, 1) == pytest.approx(1e-3)
+        assert step_lr_for_epoch(cfg, 2) == pytest.approx(1e-4)
+        assert step_lr_for_epoch(cfg, 5) == pytest.approx(1e-5)
