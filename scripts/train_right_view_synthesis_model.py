@@ -19,9 +19,36 @@ from stereo_tpu.train import KittiStereoDataset, Trainer
 from stereo_tpu.utils.paths import DEEP3D_CHECKPOINT_DIR
 
 
+def train_synthetic(args) -> None:
+    """Dataset-free mode: Deep3D learns right-view synthesis on scenes
+    generated inside the jitted step (see stereo_tpu/train/synthetic.py)."""
+    import json
+
+    from stereo_tpu.train import SyntheticDeep3DTrainer
+
+    trainer = SyntheticDeep3DTrainer(
+        height=args.crop[0], width=args.crop[1],
+        batch_size=args.batch_size, learning_rate=args.learning_rate,
+        chunk=args.chunk)
+    losses = trainer.train(args.steps)
+    out = args.export_dir
+    if not out.endswith(".npz"):
+        out = out + ".npz"
+    trainer.export(out)
+    curve = os.path.join(os.path.dirname(os.path.abspath(out)),
+                         "deep3d_synthetic_losses.json")
+    with open(curve, "w") as f:
+        json.dump({"steps": args.steps, "losses": losses}, f)
+    print(f"Exported to {out}; loss curve at {curve}")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--drive-dirs", nargs="+", required=True)
+    parser.add_argument("--drive-dirs", nargs="+", default=None)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--steps", type=int, default=2000)
+    parser.add_argument("--chunk", type=int, default=10)
+    parser.add_argument("--crop", nargs=2, type=int, default=[256, 512])
     parser.add_argument("--n-epochs", type=int, default=130)
     parser.add_argument("--batch-size", type=int, default=2)
     parser.add_argument("--learning-rate", type=float, default=2e-4)
@@ -29,6 +56,12 @@ def main() -> None:
     parser.add_argument("--export-dir", default=DEEP3D_CHECKPOINT_DIR)
     parser.add_argument("--resume", action="store_true")
     args = parser.parse_args()
+
+    if args.synthetic:
+        train_synthetic(args)
+        return
+    if not args.drive_dirs:
+        parser.error("--drive-dirs is required without --synthetic")
 
     config = TrainerConfig(n_epochs=args.n_epochs, batch_size=args.batch_size,
                            learning_rate=args.learning_rate,

@@ -18,6 +18,24 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+
+def _enable_compile_cache() -> None:
+    """Persistent compilation cache: the msnet train graphs take 8-20 min
+    to compile over the TPU tunnel; resumed/repeated runs shouldn't pay
+    that twice.  Best-effort (not all PJRT backends serialize)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_bench_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception as exc:  # noqa: BLE001
+        print(f"compile cache unavailable: {exc}", file=sys.stderr)
+
+
+_enable_compile_cache()
+
 from stereo_tpu.core.config import TrainerConfig
 from stereo_tpu.train import Kitti2015StereoDataset, StereoTrainer
 from stereo_tpu.utils.paths import model_checkpoint_dir
@@ -26,11 +44,20 @@ from stereo_tpu.utils.paths import model_checkpoint_dir
 def train_synthetic(args) -> None:
     from stereo_tpu.train import SyntheticStereoTrainer
 
+    variables = None
+    if args.resume:
+        from stereo_tpu.models import (build_stereo_model,
+                                       load_or_init_params)
+
+        variables = load_or_init_params(
+            build_stereo_model(args.model, args.max_disparity), args.model,
+            tuple(args.crop), checkpoint_dir=args.checkpoint)
+        print(f"Resuming {args.model} from existing checkpoint.")
     trainer = SyntheticStereoTrainer(
         args.model, max_disparity=args.max_disparity,
         height=args.crop[0], width=args.crop[1],
         batch_size=args.batch_size, learning_rate=args.learning_rate,
-        total_steps=args.steps, chunk=args.chunk)
+        total_steps=args.steps, chunk=args.chunk, variables=variables)
     losses = trainer.train(args.steps)
     out_dir = args.checkpoint or (model_checkpoint_dir(args.model) + ".npz")
     trainer.export(out_dir)

@@ -79,11 +79,18 @@ def load_params(checkpoint_dir: str, template=None):
     return checkpointer.restore(path)
 
 
-def save_params_npz(variables, npz_path: str) -> None:
+_NPZ_META_PREFIX = "__meta__"
+
+
+def save_params_npz(variables, npz_path: str, meta=None) -> None:
     """Compact single-file checkpoint: float params stored as float16
     (batch_stats kept float32 — running variances can exceed f16 range),
     zip-compressed.  ~4x smaller than the Orbax tree; the format committed
-    to the repo for shipped weights."""
+    to the repo for shipped weights.
+
+    ``meta``: optional dict of small arrays stored alongside the tree
+    (e.g. the input resolution a shape-dependent model was trained at).
+    """
     import numpy as np
 
     flat = {}
@@ -93,6 +100,8 @@ def save_params_npz(variables, npz_path: str) -> None:
         if arr.dtype == np.float32 and "batch_stats" not in key:
             arr = arr.astype(np.float16)
         flat[key] = arr
+    for name, value in (meta or {}).items():
+        flat[_NPZ_META_PREFIX + name] = np.asarray(value)
     os.makedirs(os.path.dirname(os.path.abspath(npz_path)), exist_ok=True)
     np.savez_compressed(npz_path, **flat)
 
@@ -106,6 +115,8 @@ def load_params_npz(npz_path: str):
     data = np.load(npz_path)
     variables: dict = {}
     for key in data.files:
+        if key.startswith(_NPZ_META_PREFIX):
+            continue
         parts = re.findall(r"\['([^']+)'\]", key)
         node = variables
         for part in parts[:-1]:
@@ -115,6 +126,15 @@ def load_params_npz(npz_path: str):
             arr = arr.astype(np.float32)
         node[parts[-1]] = jnp.asarray(arr)
     return variables
+
+
+def load_npz_meta(npz_path: str) -> dict:
+    """The ``meta`` dict stored by :func:`save_params_npz` (may be empty)."""
+    import numpy as np
+
+    data = np.load(npz_path)
+    return {key[len(_NPZ_META_PREFIX):]: np.asarray(data[key])
+            for key in data.files if key.startswith(_NPZ_META_PREFIX)}
 
 
 def load_or_init_params(model, name: str, image_shape: Tuple[int, int],

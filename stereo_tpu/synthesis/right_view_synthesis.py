@@ -63,9 +63,20 @@ class RightViewSynthesis:
         self.output_shape = tuple(output_shape)
         self.model_full_shape = tuple(model_full_shape)
         self.model_down_shape = tuple(model_down_shape)
+        self._ckpt_meta: dict = {}
         if variables is None:
             variables = self._load_or_init(checkpoint_dir)
         self.variables = variables
+        # Deep3D's FF block ties parameters to a training resolution; a
+        # checkpoint that records its native shapes overrides the defaults
+        # (any camera size still works — the wrapper resizes in and out).
+        if self._ckpt_meta:
+            if "full_shape" in self._ckpt_meta:
+                self.model_full_shape = tuple(
+                    int(v) for v in self._ckpt_meta["full_shape"])
+            if "down_shape" in self._ckpt_meta:
+                self.model_down_shape = tuple(
+                    int(v) for v in self._ckpt_meta["down_shape"])
         self._fn = jax.jit(functools.partial(
             synthesize_batch, self.model, output_shape=self.output_shape,
             full_shape=self.model_full_shape,
@@ -86,10 +97,18 @@ class RightViewSynthesis:
         jax.block_until_ready(self._fn(self.variables, x))
 
     def _load_or_init(self, checkpoint_dir: Optional[str]):
-        from ..models import load_params
+        from ..models import load_npz_meta, load_params, load_params_npz
 
+        self._ckpt_meta: dict = {}
         for cand in (checkpoint_dir, DEEP3D_CHECKPOINT_DIR):
-            if cand and os.path.isdir(cand) and os.listdir(cand):
+            if not cand:
+                continue
+            npz = cand if (os.path.isfile(cand) and cand.endswith(".npz")) \
+                else cand + ".npz"
+            if os.path.isfile(npz):
+                self._ckpt_meta = load_npz_meta(npz)
+                return load_params_npz(npz)
+            if os.path.isdir(cand) and os.listdir(cand):
                 return load_params(cand)
         # Fresh (untrained) parameters — valid for shape/perf tests; the
         # trainer produces real ones (``stereo_tpu/train``).

@@ -77,35 +77,73 @@ def _layer_texture(key: jax.Array, x_hw: jnp.ndarray,
 def synthetic_stereo_scene(
         key: jax.Array, height: int, width: int,
         min_disparity: float = 6.0, max_disparity: float = 58.0,
-        n_layers: int = 6) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        n_layers: int = 6,
+        depth_prior: bool = False
+        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One scene -> ``(left (3,H,W), right (3,H,W), gt_disparity (H,W))``,
     images float32 in 0..255 (the pipeline's camera contract), GT in
-    left-frame full-resolution pixels.  Pure-jnp; jit/vmap safe."""
+    left-frame full-resolution pixels.  Pure-jnp; jit/vmap safe.
+
+    ``depth_prior=False`` (stereo-training mode): every layer's disparity is
+    random and appearance-independent — nets can only solve the task by
+    *matching*, never by memorizing monocular cues.
+
+    ``depth_prior=True`` (single-view / Deep3D mode): a ground-plane-like
+    background whose disparity ramps top(far)->bottom(near) and rect
+    disparities correlated with their vertical position — the monocular
+    structure (KITTI-style "lower is closer") a view-synthesis network
+    needs, since it sees only the left image.
+    """
     x_hw = jnp.broadcast_to(
         jnp.arange(height, dtype=jnp.float32)[:, None], (height, width))
     y_hw = jnp.broadcast_to(
         jnp.arange(width, dtype=jnp.float32)[None, :], (height, width))
 
     kd, kbg, klayers = jax.random.split(key, 3)
-    ds = jnp.sort(jax.random.uniform(
-        kd, (n_layers,), minval=min_disparity, maxval=max_disparity))
+
+    if depth_prior:
+        # Background: per-row disparity ramp (still row-wise closed-form:
+        # left row x samples the texture at y - d_bg(x)).
+        kb1, kb2 = jax.random.split(kd)
+        span = max_disparity - min_disparity
+        near = min_disparity + span * jax.random.uniform(
+            kb1, minval=0.35, maxval=0.75)
+        d_bg_row = min_disparity + (near - min_disparity) * (
+            x_hw[:, :1] / max(height - 1, 1)) ** 1.5       # (H, 1)
+        d_bg = jnp.broadcast_to(d_bg_row, (height, width))
+        ds = None
+        k_disp = kb2
+    else:
+        ds = jnp.sort(jax.random.uniform(
+            kd, (n_layers,), minval=min_disparity, maxval=max_disparity))
+        d_bg = jnp.full((height, width), ds[0])
+        k_disp = None
 
     right = _layer_texture(kbg, x_hw, y_hw)
-    left = _layer_texture(kbg, x_hw, y_hw - ds[0])
-    disparity = jnp.full((height, width), ds[0])
+    left = _layer_texture(kbg, x_hw, y_hw - d_bg)
+    disparity = d_bg
 
     def body(i, state):
         left, right, disparity = state
         k = jax.random.fold_in(klayers, i)
         kr, kt = jax.random.split(k)
-        d = ds[i]
-        k1, k2, k3, k4 = jax.random.split(kr, 4)
+        k1, k2, k3, k4, k5 = jax.random.split(kr, 5)
         rect_h = jax.random.uniform(k1, minval=height / 6, maxval=height / 2)
         rect_w = jax.random.uniform(k2, minval=width / 8, maxval=width / 3)
         x0 = jax.random.uniform(k3, minval=-rect_h / 4,
                                 maxval=height - rect_h * 0.75)
         y0 = jax.random.uniform(k4, minval=-rect_w / 4,
                                 maxval=width - rect_w * 0.75)
+        if depth_prior:
+            # Disparity tied to the rect's vertical center: objects lower in
+            # the image are closer (larger d) — learnable from the left view.
+            center = jnp.clip((x0 + rect_h / 2) / height, 0.0, 1.0)
+            u = jax.random.uniform(k5, minval=0.8, maxval=1.1)
+            d = jnp.clip(min_disparity
+                         + (max_disparity - min_disparity) * center * u,
+                         min_disparity, max_disparity)
+        else:
+            d = ds[i]
 
         def rect_mask(yw):
             return ((x_hw >= x0) & (x_hw < x0 + rect_h)
@@ -127,11 +165,13 @@ def synthetic_stereo_scene(
 
 def synthetic_stereo_batch(key: jax.Array, batch_size: int, height: int,
                            width: int, min_disparity: float = 6.0,
-                           max_disparity: float = 58.0, n_layers: int = 6):
+                           max_disparity: float = 58.0, n_layers: int = 6,
+                           depth_prior: bool = False):
     """vmapped scenes -> ``(left (N,3,H,W), right, gt (N,H,W))``."""
     keys = jax.random.split(key, batch_size)
     return jax.vmap(lambda k: synthetic_stereo_scene(
-        k, height, width, min_disparity, max_disparity, n_layers))(keys)
+        k, height, width, min_disparity, max_disparity, n_layers,
+        depth_prior))(keys)
 
 
 # ---------------------------------------------------------------------------
@@ -155,7 +195,7 @@ class SyntheticStereoTrainer:
                  warmup_steps: int = 100, total_steps: int = 2000,
                  min_scene_disparity: float = 6.0,
                  max_scene_disparity: Optional[float] = None,
-                 chunk: int = 20, seed: int = 0):
+                 chunk: int = 20, seed: int = 0, variables=None):
         import optax
 
         from ..models import build_stereo_model, gwcnet_loss, init_stereo_params, msnet_loss
@@ -174,7 +214,8 @@ class SyntheticStereoTrainer:
             max_disparity=max_scene_disparity)
         loss_fn = gwcnet_loss if model_name == "gwcnet" else msnet_loss
 
-        variables = init_stereo_params(self.model, (height, width), seed)
+        if variables is None:
+            variables = init_stereo_params(self.model, (height, width), seed)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         schedule = optax.warmup_cosine_decay_schedule(
@@ -294,10 +335,12 @@ class SyntheticDeep3DTrainer:
         self.chunk = chunk
         self.step_count = 0
         model, optimizer = self.model, self.optimizer
+        # depth_prior scenes: single-view synthesis is only learnable when
+        # appearance predicts depth (see synthetic_stereo_scene docstring).
         gen = functools.partial(
             synthetic_stereo_batch, batch_size=batch_size, height=height,
             width=width, min_disparity=2.0,
-            max_disparity=max_scene_disparity)
+            max_disparity=max_scene_disparity, depth_prior=True)
 
         def one_step(carry, _):
             params, opt_state, key = carry
@@ -348,7 +391,11 @@ class SyntheticDeep3DTrainer:
 
         variables = jax.device_get({"params": self.params})
         if checkpoint_path.endswith(".npz"):
-            save_params_npz(variables, checkpoint_path)
+            # Deep3D's FF block ties the parameters to the training
+            # resolution; record it so the RVS wrapper can adopt it.
+            save_params_npz(variables, checkpoint_path, meta={
+                "full_shape": [self.height, self.width],
+                "down_shape": [self.height // 4, self.width // 4]})
         else:
             save_params(variables, checkpoint_path)
 

@@ -108,9 +108,10 @@ class TestSyntheticCamera:
 
 class TestSyntheticTrainer:
     def test_msnet2d_steps_run_and_loss_finite(self):
-        tr = SyntheticStereoTrainer("msnet2d", max_disparity=16, height=32,
+        tr = SyntheticStereoTrainer("msnet2d", max_disparity=8, height=32,
                                     width=64, batch_size=1, total_steps=4,
-                                    chunk=2, warmup_steps=1)
+                                    chunk=2, warmup_steps=1,
+                                    max_scene_disparity=6.0)
         losses = tr.train(4, log_every_chunks=0)
         assert len(losses) == 4
         assert all(np.isfinite(v) for v in losses)
@@ -129,8 +130,8 @@ class TestTrainedCheckpoints:
         from stereo_tpu.pipeline.backends import DnnStereoMatchingBackend
 
         left, right, gt = synthetic_stereo_batch(
-            jax.random.PRNGKey(20260817), batch_size=2, height=128,
-            width=256, min_disparity=6.0, max_disparity=58.0)
+            jax.random.PRNGKey(20260817), batch_size=2, height=96,
+            width=192, min_disparity=6.0, max_disparity=50.0)
         gt = np.asarray(gt)
 
         def mae(backend):
@@ -139,14 +140,59 @@ class TestTrainedCheckpoints:
 
         from stereo_tpu.models import build_stereo_model, init_stereo_params
 
-        trained = DnnStereoMatchingBackend(name, image_shape=(128, 256),
+        trained = DnnStereoMatchingBackend(name, image_shape=(96, 192),
                                            max_disparity=64,
                                            checkpoint_dir=ckpt)
         random_params = init_stereo_params(
-            build_stereo_model(name, 64), (128, 256), seed=7)
-        random = DnnStereoMatchingBackend(name, image_shape=(128, 256),
+            build_stereo_model(name, 64), (96, 192), seed=7)
+        random = DnnStereoMatchingBackend(name, image_shape=(96, 192),
                                           max_disparity=64,
                                           params=random_params)
         mae_trained, mae_random = mae(trained), mae(random)
         assert mae_trained < 8.0, f"trained {name} MAE {mae_trained}"
         assert mae_trained < 0.5 * mae_random, (mae_trained, mae_random)
+
+
+class TestDepthPriorScenes:
+    def test_ramp_background_monotone(self):
+        left, right, disp = jax.jit(
+            synthetic_stereo_scene, static_argnums=(1, 2, 5, 6)
+        )(jax.random.PRNGKey(2), 64, 128, 4.0, 30.0, 6, True)
+        disp = np.asarray(disp)
+        # lower rows are nearer (larger disparity) on average
+        assert disp[-8:].mean() > disp[:8].mean() + 2.0
+        assert disp.min() >= 4.0 - 1e-5 and disp.max() <= 30.0 + 1e-5
+
+    def test_prior_free_scenes_remain_default(self):
+        """Stereo-training scenes must stay appearance-independent (a net
+        could otherwise cheat via monocular cues instead of matching)."""
+        import inspect
+
+        from stereo_tpu.train.synthetic import synthetic_stereo_scene as f
+
+        assert inspect.signature(f).parameters["depth_prior"].default is False
+
+
+class TestTrainedDeep3D:
+    def test_synthesized_right_view_beats_identity(self):
+        """The trained Deep3D must synthesize a right view closer to the
+        true right view than the trivial identity (left-as-right) baseline
+        on held-out depth-prior scenes (skips until the checkpoint ships)."""
+        ckpt = os.path.join(REPO, "data", "checkpoints", "deep3d.npz")
+        if not os.path.isfile(ckpt):
+            pytest.skip("no committed deep3d checkpoint")
+        from stereo_tpu.models import Deep3D, load_params_npz
+
+        left, right, _ = synthetic_stereo_batch(
+            jax.random.PRNGKey(424242), batch_size=2, height=256, width=512,
+            min_disparity=2.0, max_disparity=52.0, depth_prior=True)
+        left = left / 255.0
+        right = right / 255.0
+        down = left.reshape(2, 3, 64, 4, 128, 4).mean(axis=(3, 5))
+
+        model = Deep3D()
+        variables = load_params_npz(ckpt)
+        pred = model.apply(variables, left, down, train=False)
+        err_model = float(jnp.abs(pred - right).mean())
+        err_identity = float(jnp.abs(left - right).mean())
+        assert err_model < 0.75 * err_identity, (err_model, err_identity)

@@ -166,3 +166,31 @@ class TestStepLR:
         assert step_lr_for_epoch(cfg, 1) == pytest.approx(1e-3)
         assert step_lr_for_epoch(cfg, 2) == pytest.approx(1e-4)
         assert step_lr_for_epoch(cfg, 5) == pytest.approx(1e-5)
+
+
+class TestNpzCheckpoints:
+    def test_roundtrip_and_backend_autoload(self, tmp_path):
+        from stereo_tpu.models import (init_stereo_params, load_params_npz,
+                                       save_params_npz)
+
+        model = build_stereo_model("msnet2d", max_disparity=16)
+        variables = init_stereo_params(model, (32, 64), seed=3)
+        path = str(tmp_path / "msnet2d.npz")
+        save_params_npz(variables, path)
+        back = load_params_npz(path)
+        assert set(back) == set(variables)
+        flat_a = jax.tree_util.tree_leaves(variables)
+        flat_b = jax.tree_util.tree_leaves(back)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            assert a.shape == b.shape
+            # float16 storage: small quantization, structure identical
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32), atol=2e-3)
+
+        # the loader resolves "<dir>/<name>.npz" transparently
+        restored = load_or_init_params(model, "msnet2d", (32, 64),
+                                       checkpoint_dir=str(tmp_path / "msnet2d"))
+        a = jax.tree_util.tree_leaves(restored)[0]
+        b = jax.tree_util.tree_leaves(back)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
