@@ -181,9 +181,14 @@ def main() -> None:
             ("msnet3d", 4.0, "float32", "msnet3d_fps"),
             ("middlebury", None, "float32", "middlebury_1080p_pallas_fps"),
             ("gwcnet", 6.0, "bfloat16", "gwcnet_bf16_fps")]
+    # Per-job cap: one pathological remote compile must not starve every
+    # later metric (the persistent cache usually makes repeats fast, and a
+    # killed worker still leaves its compile in the cache for next time).
+    job_cap_s = float(os.environ.get("BENCH_JOB_CAP_S", 240))
     for name, baseline, dtype, key in jobs:
-        remaining = (budget_s - (time.perf_counter() - start)
-                     - classical_reserve_s)
+        remaining = min(job_cap_s,
+                        budget_s - (time.perf_counter() - start)
+                        - classical_reserve_s)
         if remaining < 90:
             print(f"bench: skipping {key} (wall budget)", file=sys.stderr)
             continue
