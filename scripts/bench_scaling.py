@@ -44,6 +44,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
+try:  # share bench.py's persistent compile cache (tunnel compiles are slow)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001 — cache is best-effort
+    pass
+
 from stereo_tpu.core.config import MatchingConfig, MeshConfig
 from stereo_tpu.matching.classical import ClassicalStereoEngine
 from stereo_tpu.parallel import ShardedClassicalEngine
@@ -56,23 +65,46 @@ def mesh_layouts(n):
     return layouts.get(n)
 
 
-def _timed_fps(run, left, right, batch, repeats):
-    """Best-of-N wall time with a per-repeat on-device perturbation so no
-    two dispatches are value-identical (tunnel memoization guard)."""
-    import jax.numpy as jnp
+def _timed_fps(fn, left, right, batch, repeats, m_small=4, m_large=16):
+    """Marginal-cost throughput (bench.py protocol): one executable per M
+    runs the engine M times in-graph over *distinct* inputs (``+ i*1e-38``)
+    and reduces everything to one scalar readback.  The tunnel memoizes
+    value-identical dispatches, elides unconsumed outputs, and returns from
+    ``block_until_ready`` before remote compute drains — so wall-timing
+    individual dispatches measures the RPC, not the device.  The marginal
+    time between M_small and M_large differences all of that out.
 
-    ld = jnp.asarray(left)
-    rd = jnp.asarray(right)
-    jax.block_until_ready(run(ld, rd))                 # compile + warm
-    best = float("inf")
-    for i in range(repeats):
-        eps = jnp.float32((i + 1) * 1e-38)
-        lp = jax.block_until_ready(ld + eps)
-        rp = jax.block_until_ready(rd + eps)
+    ``fn`` must be a jit-traceable callable over already-placed arrays
+    (the engine's jitted graph is fine — it inlines under the outer jit).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    def make_runner(m):
+        @jax.jit
+        def run_m(seed, l, r):
+            def one(i):
+                return jnp.sum(fn(l + (seed + i) * 1e-38, r))
+            return jnp.sum(lax.map(one, jnp.arange(m, dtype=jnp.float32)))
+        return run_m
+
+    run_small, run_large = make_runner(m_small), make_runner(m_large)
+    jax.block_until_ready(run_small(jnp.float32(1.0), left, right))  # compile
+    jax.block_until_ready(run_large(jnp.float32(2.0), left, right))
+
+    def timed(run, seed):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(lp, rp))
-        best = min(best, time.perf_counter() - t0)
-    return batch / best
+        float(run(jnp.float32(seed), left, right))
+        return time.perf_counter() - t0
+
+    seed = 3.0
+    t_small = t_large = float("inf")
+    for _ in range(max(repeats, 2)):
+        t_small = min(t_small, timed(run_small, seed))
+        t_large = min(t_large, timed(run_large, seed + 1))
+        seed += 2
+    slope = max((t_large - t_small) / (m_large - m_small), 1e-9)
+    return batch / slope
 
 
 def _make_config(args):
@@ -98,8 +130,12 @@ def run_mesh_mode(args) -> dict:
         left = rng.integers(0, 256, (batch, 3, args.height,
                                      args.width)).astype(np.float32)
         right = np.roll(left, -4, axis=-1)
-        fps = _timed_fps(engine.compute_disparity_maps, left, right, batch,
-                         args.repeats)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        import jax.numpy as jnp
+        sharding = NamedSharding(engine.mesh, P("data", None, "tile", None))
+        ld = jax.device_put(jnp.asarray(left), sharding)
+        rd = jax.device_put(jnp.asarray(right), sharding)
+        fps = _timed_fps(engine._fn, ld, rd, batch, args.repeats)
         if base_fps is None:
             base_fps = fps
         eff = fps / (base_fps * n)
@@ -112,6 +148,8 @@ def run_mesh_mode(args) -> dict:
 
 
 def run_batch_mode(args) -> dict:
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(0)
     engine = ClassicalStereoEngine(_make_config(args))
     results = {}
@@ -120,8 +158,8 @@ def run_batch_mode(args) -> dict:
         left = rng.integers(0, 256, (batch, 3, args.height,
                                      args.width)).astype(np.float32)
         right = np.roll(left, -4, axis=-1)
-        fps = _timed_fps(engine.compute_disparity_maps, left, right, batch,
-                         args.repeats)
+        fps = _timed_fps(engine._batched, jnp.asarray(left),
+                         jnp.asarray(right), batch, args.repeats)
         if base_fps is None:
             base_fps = fps
         results[str(batch)] = {"fps": round(fps, 2),

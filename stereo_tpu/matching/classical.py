@@ -49,13 +49,16 @@ def compute_disparity_from_grayscale(left_gray: jnp.ndarray,
     c = config
     impl = c.impl
     if impl == "auto":
-        # The Pallas kernels stream the cost volume through VMEM — a clear
-        # win once the volume is large (1.7x at Middlebury's 94 planes);
-        # at small D, XLA's fused pipeline is on par and compiles faster.
+        # The Pallas kernels stream the cost volume through VMEM and run the
+        # stride-k sampling as MXU selection matmuls — measured 1.5x faster
+        # than the XLA path at the KITTI config (1.54 vs 2.32 ms/frame) and
+        # >2x at Middlebury's 94 planes (18.8 ms vs ~50 ms); chunked
+        # unrolling keeps Mosaic compile time O(chunk), so they win at
+        # every disparity count.
         # Off-TPU the kernels would run interpreted — always use XLA there.
         divisible = c.height % c.k == 0 and c.width % c.k == 0
-        impl = "pallas" if (divisible and jax.default_backend() == "tpu" and
-                            c.num_disparities_down > 48) else "xla"
+        impl = "pallas" if (divisible and
+                            jax.default_backend() == "tpu") else "xla"
     if impl == "pallas":
         from ..ops.pallas import classical_fused
         return classical_fused.compute_disparity_from_grayscale(

@@ -41,10 +41,16 @@ from ...core.config import MatchingConfig
 
 MAX_INTENSITY = 255.0
 
-# Above this many disparity planes the kernels switch from a fully unrolled
-# loop (fastest, but Mosaic compile time scales with the unroll) to a
-# fori_loop with an in-VMEM roll-by-one per iteration (compile O(1) in D).
-_UNROLL_MAX_PLANES = 48
+# Disparity planes are processed in chunks: a fori_loop over ceil(D/chunk)
+# iterations whose body unrolls ``chunk`` planes with static slice offsets,
+# then rolls the right-image VMEM band by ``chunk`` lanes.  Mosaic compile
+# time scales with the chunk (not with D), while the roll traffic and loop
+# overhead amortize over ``chunk`` planes — a roll-by-one per plane measured
+# ~1.1 ms/frame slower than chunk=16 at the KITTI config, while a full
+# unroll (no roll at all) measured no faster but costs minutes of Mosaic
+# compile per ~33 planes.  When D fits in a single chunk the loop (and the
+# roll) disappears entirely.
+_UNROLL_CHUNK = 16
 
 
 def _interpret() -> bool:
@@ -127,9 +133,12 @@ def _matching_core_kernel(ld_hbm, rd_hbm, disp_ref, mbm_ref, ld_v, rd_v,
     acc[PEND] = jnp.zeros(shape, jnp.float32)
     acc[PREV] = jnp.zeros(shape, jnp.float32)
 
-    def step(d, rd_window, d_value):
+    def step(d, rd_window, d_value, valid=True):
         """One disparity plane; ``rd_window`` already aligned so column y
-        holds right[y - (min_disparity_down + d)]."""
+        holds right[y - (min_disparity_down + d)].  ``valid`` masks the
+        tail planes of the last chunk (their window reads rolled-in
+        garbage): an invalid plane can never become the best, and every
+        other accumulator write is conditioned on plane identity."""
         diff = jnp.abs(ld - rd_window)
         cost = area * MAX_INTENSITY - _box_lanes(_box_sublanes(diff, r), r)
         # cost rows cover [-L, tile+L), cols [-L, w_d+L)
@@ -144,7 +153,7 @@ def _matching_core_kernel(ld_hbm, rd_hbm, disp_ref, mbm_ref, ld_v, rd_v,
 
         first = jnp.float32(d_value) == 0.0
         acc[PLANE0] = jnp.where(first, agg, acc[PLANE0])
-        is_new_best = agg > acc[BEST]           # strict: first max wins
+        is_new_best = (agg > acc[BEST]) & valid  # strict: first max wins
         acc[MPREV] = jnp.where(is_new_best, acc[PREV], acc[MPREV])
         acc[MNEXT] = jnp.where(acc[PEND] > 0, agg, acc[MNEXT])
         acc[PEND] = is_new_best.astype(jnp.float32)
@@ -154,25 +163,38 @@ def _matching_core_kernel(ld_hbm, rd_hbm, disp_ref, mbm_ref, ld_v, rd_v,
         acc[LAST] = jnp.where(jnp.float32(d_value) == num_d - 1, agg,
                               acc[LAST])
 
-    if num_d <= _UNROLL_MAX_PLANES:
+    # Balanced chunks: ceil-dividing D by the chunk count (instead of using
+    # the maximum chunk everywhere) keeps the masked tail to < n_chunks
+    # planes of wasted compute (a fixed chunk of 16 would waste 15 of 48
+    # planes at KITTI's D=33).  Chunk sizes 16/32/48 measured identical
+    # throughput at KITTI (1.54-1.57 ms/frame); compile time alone scales
+    # with the chunk, so the smallest is the right default.
+    n_chunks = -(-num_d // _UNROLL_CHUNK)
+    chunk = -(-num_d // n_chunks)
+    if n_chunks == 1:
         rd = rd_v[...][:band_rows, :rd_cols]
         for d in range(num_d):
             off = num_d - 1 - d
             step(d, rd[:, off:off + ld.shape[-1]], float(d))
     else:
-        # fori-loop variant: compile time O(1) in D.  Each iteration rolls
-        # the right band by one lane in place, keeping the slice offset
-        # static; the wrapped-in garbage (first d columns) stays left of
-        # the fixed slice start (num_d - 1 >= d).
-        off = num_d - 1
-
-        def body(d, _):
+        # Chunked unroll: each fori iteration handles ``chunk`` planes at
+        # static slice offsets, then rolls the right band by ``chunk``
+        # lanes in place.  The wrapped-in garbage (first j*chunk columns)
+        # stays left of the smallest slice start (num_d - 1 - (chunk - 1)
+        # >= 0 because chunk <= num_d); tail planes d >= num_d of the last
+        # chunk are masked via ``valid``.
+        def body(j, _):
             rd = rd_v[...][:band_rows, :rd_cols]
-            step(d, rd[:, off:off + ld.shape[-1]], d.astype(jnp.float32))
-            rd_v[...] = pltpu.roll(rd_v[...], 1, axis=1)
+            base = (j * chunk).astype(jnp.float32)
+            for t in range(chunk):
+                off = num_d - 1 - t
+                d_value = base + float(t)
+                step(t, rd[:, off:off + ld.shape[-1]], d_value,
+                     valid=d_value < float(num_d))
+            rd_v[...] = pltpu.roll(rd_v[...], chunk, axis=1)
             return 0
 
-        jax.lax.fori_loop(0, num_d, body, 0)
+        jax.lax.fori_loop(0, n_chunks, body, 0)
 
     # mod-D wrap of the parabola neighbours (ops/refinement.py semantics)
     best_idx = acc[IDX]
@@ -313,32 +335,44 @@ def _sampled_window_kernel(lg_hbm, rg_hbm, didx_ref, win_ref, lg_v, rg_v,
     for s2 in range(win):
         acc[s2] = jnp.zeros((tile_rows, w_d), jnp.float32)
 
-    def step(rg_window, t_value):
+    def step(rg_window, t_value, valid=True):
+        # Row axis first (matching ops/refinement.py::sampled_sad_volume
+        # exactly): compressing k*tile rows down to tile before the lane box
+        # and the big column-selection matmul cuts the MXU work ~4x.
         diff = jnp.abs(lg - rg_window)
-        cols = _box_lanes(diff, sad_r)           # (band, W)
-        cols = jnp.dot(cols, sel_cols, preferred_element_type=jnp.float32)
-        rows = _box_sublanes(cols, sad_r)        # (k*tile, w_d)
-        plane = jnp.dot(sel_rows, rows, preferred_element_type=jnp.float32)
+        rows = _box_sublanes(diff, sad_r)        # (k*tile, lg_cols)
+        rows = jnp.dot(sel_rows, rows, preferred_element_type=jnp.float32)
+        cols = _box_lanes(rows, sad_r)           # (tile, full_w)
+        plane = jnp.dot(cols, sel_cols, preferred_element_type=jnp.float32)
         plane = area * MAX_INTENSITY - plane
         slot = t_value - k * d_idx
         for s2 in range(win):
-            acc[s2] = jnp.where(slot == s2, plane, acc[s2])
+            acc[s2] = jnp.where((slot == s2) & valid, plane, acc[s2])
 
-    if num_dense <= 2 * _UNROLL_MAX_PLANES:
+    # Balanced chunks (see _matching_core_kernel): minimal masked tail.
+    n_chunks = -(-num_dense // (2 * _UNROLL_CHUNK))
+    chunk = -(-num_dense // n_chunks)
+    if n_chunks == 1:
         rg = rg_v[...][:band_rows, :rg_cols]
         for t in range(num_dense):
             off = num_dense - 1 - t
             step(rg[:, off:off + lg.shape[-1]], t)
     else:
-        off = num_dense - 1
-
-        def body(t, _):
+        # Chunked unroll; see _matching_core_kernel.  Slice starts
+        # num_dense - 1 - t stay right of the j*chunk wrapped-in garbage
+        # columns exactly when the plane index is valid; the masked tail
+        # planes of the last chunk never reach ``acc``.
+        def body(j, _):
             rg = rg_v[...][:band_rows, :rg_cols]
-            step(rg[:, off:off + lg.shape[-1]], t)
-            rg_v[...] = pltpu.roll(rg_v[...], 1, axis=1)
+            base = j * chunk
+            for t in range(chunk):
+                off = num_dense - 1 - t
+                step(rg[:, off:off + lg.shape[-1]], base + t,
+                     valid=base + t < num_dense)
+            rg_v[...] = pltpu.roll(rg_v[...], chunk, axis=1)
             return 0
 
-        jax.lax.fori_loop(0, num_dense, body, 0)
+        jax.lax.fori_loop(0, n_chunks, body, 0)
 
     for s2 in range(win):
         win_ref[s2] = acc[s2]

@@ -75,12 +75,18 @@ def sampled_sad_volume(left: jnp.ndarray, right: jnp.ndarray, k: int,
     # Unrolled static loop: lax.map would serialize into one launch per
     # plane (launch overhead dominated the whole pipeline); unrolled, XLA
     # fuses the roll/diff/colsum chain across planes.
+    #
+    # Row axis is reduced FIRST: sampling rows ::k right after the row box
+    # shrinks the array k-fold before the (more expensive) lane-axis box
+    # sum runs — same taps summed, different (fixed) association order.
+    # The Pallas kernel (ops/pallas/kernels.py::_sampled_window_kernel)
+    # accumulates in this exact order so the impls stay bit-identical.
     planes = []
     for t in range(num_d):
         diff = jnp.abs(left - jnp.roll(right, d_start + t, axis=-1))
-        cols = box_sum_1d(diff, patch_radius, axis=-1)[..., ::k]
-        rows = box_sum_1d(cols, patch_radius, axis=-2)[..., ::k, :]
-        planes.append(area * MAX_INTENSITY - rows)
+        rows = box_sum_1d(diff, patch_radius, axis=-2)[..., ::k, :]
+        cols = box_sum_1d(rows, patch_radius, axis=-1)[..., ::k]
+        planes.append(area * MAX_INTENSITY - cols)
     return jnp.stack(planes, axis=-1)
 
 

@@ -24,9 +24,18 @@ GOLDEN_NPZ = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def test_middlebury_demo_golden_per_pixel():
     """Per-pixel checksum gate: the committed golden disparity map was
-    captured by this engine (CPU XLA path, bit-identical to the TPU
-    Pallas path per the equivalence suite); any semantic drift in ANY of
-    the 8 classical stages fails this exactly."""
+    captured by this engine's CPU XLA path (what this suite runs); any
+    semantic drift in ANY of the 8 classical stages fails this exactly.
+
+    Cross-platform/impl agreement at this full 1080p scale (measured
+    2026-08-17, scripts in git history): TPU XLA matches this golden on
+    99.99% of pixels within 1e-3 (~220 near-tie WTA flips out of 2.07M);
+    TPU Pallas agrees within 0.5 px on 99.4% of pixels with mean |d| of
+    0.034 px — the fused kernels accumulate in a different (but fixed)
+    float association order, so exact equality with the XLA path holds
+    only where no near-tie argmax flip occurs (the interpret-mode
+    equivalence tests in test_pallas.py pin it exactly at small shapes).
+    """
     from PIL import Image
 
     from stereo_tpu.core.config import MatchingConfig

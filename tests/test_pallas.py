@@ -39,8 +39,10 @@ CFG_BIGMIN = MatchingConfig(height=48, width=128, downscale_factor=2,
                             threshold=5, small_mbm_radius=1, mid_mbm_radius=1,
                             large_mbm_radius=2)
 
-# enough disparity planes to force the fori_loop kernel variant
-# (num_dd = 60 > _UNROLL_MAX_PLANES, num_dense = 125)
+# enough disparity planes to force the chunked fori_loop kernel variant
+# with a masked tail chunk in both kernels (num_dd = 50 -> 4 balanced
+# chunks of 13 with 2 masked planes; num_dense = 105 -> 4 chunks of 27
+# with 3 masked)
 CFG_FORI = MatchingConfig(height=16, width=224, downscale_factor=2,
                           min_disparity=0, max_disparity=99,
                           cost_patch_radius=1, sad_patch_radius=1,
