@@ -61,27 +61,28 @@ def _marginal_fps(frame_fn, args, m_small: int, m_large: int):
     import jax.numpy as jnp
     from jax import lax
 
-    def make_runner(m):
-        @jax.jit
-        def run_m(seed, *a):
-            def one(i):
-                return jnp.sum(frame_fn(a[0] + (seed + i) * 1e-38, *a[1:]))
-            return jnp.sum(lax.map(one, jnp.arange(m, dtype=jnp.float32)))
-        return run_m
+    # ONE executable with a dynamic trip count: the M_small and M_large
+    # measurements share it, halving remote-compile cost (the dominant
+    # wall-clock for the DNN metrics — msnet3d's compile alone can eat a
+    # whole job budget).  fori_loop iterations are strictly sequential, so
+    # the marginal cost per iteration is still the true per-frame time.
+    @jax.jit
+    def run_m(seed, m, *a):
+        def body(i, acc):
+            frame = frame_fn(a[0] + (seed + i.astype(jnp.float32)) * 1e-38,
+                             *a[1:])
+            return acc + jnp.sum(frame)
+        return lax.fori_loop(0, m, body, jnp.float32(0.0))
 
-    run_small = make_runner(m_small)
-    run_large = make_runner(m_large)
-    jax.block_until_ready(run_small(jnp.float32(1.0), *args))   # compile
-    jax.block_until_ready(run_large(jnp.float32(2.0), *args))
-
-    def timed(fn, seed):
+    def timed(seed, m):
         t0 = time.perf_counter()
-        total = float(fn(jnp.float32(seed), *args))
+        total = float(run_m(jnp.float32(seed), m, *args))
         return time.perf_counter() - t0, total
 
-    t_small = min(timed(run_small, 3.0)[0], timed(run_small, 4.0)[0])
-    (t_large_a, total) = timed(run_large, 5.0)
-    t_large = min(t_large_a, timed(run_large, 6.0)[0])
+    timed(1.0, m_small)                                         # compile
+    t_small = min(timed(3.0, m_small)[0], timed(4.0, m_small)[0])
+    (t_large_a, total) = timed(5.0, m_large)
+    t_large = min(t_large_a, timed(6.0, m_large)[0])
     slope = max((t_large - t_small) / (m_large - m_small), 1e-6)
     fixed_ms = max(t_small - slope * m_small, 0.0) * 1000.0
     return 1.0 / slope, fixed_ms, total / m_large
@@ -177,9 +178,11 @@ def main() -> None:
 
     # Secondary metrics FIRST, in killable subprocesses (remote-compile
     # latency varies 30s..10+min; the headline must still always print).
-    jobs = [("gwcnet", 6.0, "float32", "gwcnet_fps"),
+    # Cheapest-to-compile first: the Middlebury Pallas metric compiles in
+    # ~1 min and must not be starved by a pathological DNN remote compile.
+    jobs = [("middlebury", None, "float32", "middlebury_1080p_pallas_fps"),
+            ("gwcnet", 6.0, "float32", "gwcnet_fps"),
             ("msnet3d", 4.0, "float32", "msnet3d_fps"),
-            ("middlebury", None, "float32", "middlebury_1080p_pallas_fps"),
             ("gwcnet", 6.0, "bfloat16", "gwcnet_bf16_fps")]
     # Per-job cap: one pathological remote compile must not starve every
     # later metric (the persistent cache usually makes repeats fast, and a
