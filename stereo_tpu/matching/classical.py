@@ -91,10 +91,16 @@ class ClassicalStereoEngine:
 
     def __init__(self, config: MatchingConfig):
         self.config = config
-        self._fn = jax.jit(functools.partial(compute_disparity_map,
-                                             config=config))
-        self._batched = jax.jit(jax.vmap(functools.partial(
-            compute_disparity_map, config=config)))
+        fn = functools.partial(compute_disparity_map, config=config)
+        self._fn = jax.jit(fn)
+        # Batches run the exact single-frame program per frame via lax.map:
+        # one 384x1280 frame already fills the chip, and vmap's batching
+        # rules for the fused/Pallas stages cost ~2x per frame (measured
+        # 0.48-0.79x batch efficiency vs this path's ~1.0).  Results are
+        # bit-identical to the single-frame engine.
+        self._batched = jax.jit(
+            lambda lefts, rights: jax.lax.map(lambda ab: fn(*ab),
+                                              (lefts, rights)))
 
     def compute_disparity_map(self, left_rgb, right_rgb) -> jax.Array:
         """Single (3, H, W) pair -> (H, W) disparity."""

@@ -10,7 +10,7 @@ TPU-native differences:
 * right-view synthesis is constructed lazily on the first single-view frame
   (the reference always constructs it, ``:51``), so stereo-pair runs never
   pay Deep3D init;
-* ``process_batch`` runs a whole batch of frames through a vmapped graph —
+* ``process_batch`` runs a whole batch of frames through one batched jitted graph —
   the unit of data parallelism on TPU.
 """
 

@@ -8,7 +8,7 @@ thread pool, and ``run_depth_estimation_pipeline_evaluation`` (``:69-94``)
 with the ``0 < gt <= max_disparity`` mask.
 
 TPU-native addition: ``run_depth_estimation_pipeline_batched`` groups frames
-into fixed-size batches and drives the vmapped engine — hook dispatch and
+into fixed-size batches and drives the batched engine — hook dispatch and
 disk IO overlap with device compute because JAX dispatch is async (hooks only
 force a device->host copy when they touch the arrays).
 """
@@ -90,7 +90,7 @@ def run_depth_estimation_pipeline_batched(
         camera: Camera, pipeline: DepthEstimationPipeline, batch_size: int,
         hooks: Optional[Iterable[DepthEstimationPipelineHook]] = None) -> None:
     """Batched variant: frames are grouped into (N, 3, H, W) batches and run
-    through the vmapped/sharded engine; hooks still see per-frame contexts."""
+    through the batched/sharded engine; hooks still see per-frame contexts."""
     hooks = list(hooks) if hooks else []
     config = pipeline.get_configuration()
     validate_pipeline_config_wrt_camera(config, camera)
