@@ -169,11 +169,12 @@ def _middlebury_pallas_fps():
                          (ld, rd), m=100)
 
 
-def _e2e_single_view_fps():
+def _e2e_single_view_fps(compute_dtype: str = "float32"):
     """The reference's headline scenario end-to-end: ONE left view in,
     disparity out — Deep3D right-view synthesis (trained checkpoint) + the
     classical matcher, composed as a single jitted graph (the reference
-    runs this at 30 FPS total; ``README.md:51``)."""
+    runs this at 30 FPS total; ``README.md:51``).  ``compute_dtype=
+    bfloat16`` runs the Deep3D forward on the MXU in bf16."""
     import jax
     import jax.numpy as jnp
 
@@ -185,6 +186,7 @@ def _e2e_single_view_fps():
     cfg = MatchingConfig(height=384, width=1280, min_disparity=0,
                          max_disparity=64)
     rvs = RightViewSynthesis(output_shape=(384, 1280))
+    dtype = jnp.dtype(compute_dtype)
 
     # The Deep3D variables MUST be jit arguments, not a closure: closed-over
     # weights become HLO constants, and the ~170 MB body blows the remote
@@ -194,7 +196,8 @@ def _e2e_single_view_fps():
         right = synthesize_batch(rvs.model, variables, left[None],
                                  output_shape=(384, 1280),
                                  full_shape=rvs.model_full_shape,
-                                 down_shape=rvs.model_down_shape)[0]
+                                 down_shape=rvs.model_down_shape,
+                                 compute_dtype=dtype)[0]
         return compute_disparity_map(left, right, cfg)
 
     rng = np.random.default_rng(2)
@@ -232,7 +235,8 @@ def _worker(job: str, dtype: str) -> None:
     if job == "middlebury":
         print("WORKER_FPS", _middlebury_pallas_fps(), flush=True)
     elif job == "e2e_single_view":
-        print("WORKER_FPS", _e2e_single_view_fps(), flush=True)
+        print("WORKER_FPS", _e2e_single_view_fps(compute_dtype=dtype),
+              flush=True)
     else:
         print("WORKER_FPS", _dnn_fps(job, {}, compute_dtype=dtype), flush=True)
 
@@ -256,7 +260,8 @@ def main() -> None:
             ("gwcnet", 6.0, "float32", "gwcnet_fps"),
             ("msnet3d", 4.0, "float32", "msnet3d_fps"),
             ("e2e_single_view", 30.0, "float32", "e2e_single_view_fps"),
-            ("gwcnet", 6.0, "bfloat16", "gwcnet_bf16_fps")]
+            ("gwcnet", 6.0, "bfloat16", "gwcnet_bf16_fps"),
+            ("e2e_single_view", 30.0, "bfloat16", "e2e_single_view_bf16_fps")]
     # Per-job cap: one pathological remote compile must not starve every
     # later metric (the persistent cache usually makes repeats fast, and a
     # killed worker still leaves its compile in the cache for next time).

@@ -52,10 +52,15 @@ def main() -> None:
         if args.synthetic:
             from stereo_tpu.pipeline.camera import SyntheticStereoCamera
 
+            # The rvs_on arm runs on depth-prior scenes (appearance predicts
+            # depth, as on KITTI); random-disparity scenes are unsolvable
+            # from one view, so they would measure the scene family, not the
+            # synthesis network.
             return SyntheticStereoCamera(
                 n_frames=(1 if args.only_one else args.n_frames),
                 height=args.image_shape[0], width=args.image_shape[1],
-                return_right_view=(rvs == "off"), seed=args.seed)
+                return_right_view=(rvs == "off"), seed=args.seed,
+                depth_prior=(rvs == "on"))
         return KittiSingleViewCamera(drive, return_right_view=(rvs == "off"),
                                      only_one=args.only_one)
 

@@ -29,7 +29,8 @@ def train_synthetic(args) -> None:
     trainer = SyntheticDeep3DTrainer(
         height=args.crop[0], width=args.crop[1],
         batch_size=args.batch_size, learning_rate=args.learning_rate,
-        chunk=args.chunk)
+        chunk=args.chunk, disparity_loss_weight=args.disparity_loss_weight,
+        ce_loss_weight=args.ce_loss_weight)
     losses = trainer.train(args.steps)
     out = args.export_dir
     if not out.endswith(".npz"):
@@ -38,7 +39,9 @@ def train_synthetic(args) -> None:
     curve = os.path.join(os.path.dirname(os.path.abspath(out)),
                          "deep3d_synthetic_losses.json")
     with open(curve, "w") as f:
-        json.dump({"steps": args.steps, "losses": losses}, f)
+        json.dump({"steps": args.steps,
+                   "disparity_loss_weight": args.disparity_loss_weight,
+                   "losses": losses}, f)
     print(f"Exported to {out}; loss curve at {curve}")
 
 
@@ -52,6 +55,15 @@ def main() -> None:
     parser.add_argument("--n-epochs", type=int, default=130)
     parser.add_argument("--batch-size", type=int, default=2)
     parser.add_argument("--learning-rate", type=float, default=2e-4)
+    parser.add_argument("--disparity-loss-weight", type=float, default=0.0,
+                        help="synthetic mode: weight of the auxiliary Huber "
+                             "loss between the probability-volume soft-"
+                             "argmax and the exact right-frame GT disparity "
+                             "(0 = reference-parity photometric-only)")
+    parser.add_argument("--ce-loss-weight", type=float, default=0.0,
+                        help="synthetic mode: weight of the sub-pixel cross-"
+                             "entropy to the GT disparity channel (sharpens "
+                             "the probability volume against blend ghosting)")
     parser.add_argument("--checkpoint", default="data/checkpoints/deep3d_train")
     parser.add_argument("--export-dir", default=DEEP3D_CHECKPOINT_DIR)
     parser.add_argument("--resume", action="store_true")

@@ -143,19 +143,35 @@ class DisparityEstimationNetwork(nn.Module):
 class Deep3D(nn.Module):
     """Full model: ``(left_full, left_down)`` (NCHW, 0..1) -> synthesized
     right view (NCHW, 0..1).  ``left_down`` must be 1/4 the full resolution
-    with dims divisible by 32 (the VGG stride)."""
+    with dims divisible by 32 (the VGG stride).
+
+    setup()-based (not ``@nn.compact``) so every public method can share
+    the single submodule; the explicit ``name`` keeps the parameter tree
+    identical to the original compact auto-naming (the committed
+    checkpoints use it)."""
 
     deconv_filters: Sequence[int] = (64, 128, 256, 512, 512)
 
-    @nn.compact
+    def setup(self):
+        self.disparity_network = DisparityEstimationNetwork(
+            self.deconv_filters, name="DisparityEstimationNetwork_0")
+
     def __call__(self, left_full_nchw, left_down_nchw, train: bool = False):
-        prob = DisparityEstimationNetwork(self.deconv_filters)(
-            nchw_to_nhwc(left_down_nchw), train)
-        prob_ndhw = jnp.transpose(prob, (0, 3, 1, 2))     # (N, 65, H, W)
-        return weighted_shift_sum(prob_ndhw, left_full_nchw)
+        return self.synthesize_with_probabilities(
+            left_full_nchw, left_down_nchw, train)[0]
 
     def disparity_probabilities(self, left_down_nchw, train: bool = False):
         """Expose the softmax disparity volume (for visualization)."""
-        prob = DisparityEstimationNetwork(self.deconv_filters)(
-            nchw_to_nhwc(left_down_nchw), train)
+        prob = self.disparity_network(nchw_to_nhwc(left_down_nchw), train)
         return jnp.transpose(prob, (0, 3, 1, 2))
+
+    def synthesize_with_probabilities(self, left_full_nchw, left_down_nchw,
+                                      train: bool = False):
+        """One forward -> ``(right_view, prob (N, 65, H, W))``.  The
+        probability volume is in RIGHT-frame coordinates (output pixel y
+        blends ``left[y + d]``); its soft-argmax is the right-frame
+        disparity map — used for auxiliary disparity supervision when exact
+        GT exists (``train.synthetic``)."""
+        prob = self.disparity_network(nchw_to_nhwc(left_down_nchw), train)
+        prob_ndhw = jnp.transpose(prob, (0, 3, 1, 2))     # (N, 65, H, W)
+        return weighted_shift_sum(prob_ndhw, left_full_nchw), prob_ndhw

@@ -23,6 +23,13 @@ class SyntheticStereoCamera(EvaluationCamera):
     ``seed`` selects the scene set — use different seeds for train-time
     validation vs held-out evaluation.  With ``return_right_view=False`` the
     right view is withheld and the pipeline synthesizes it (RVS path).
+
+    ``depth_prior`` selects the scene family (see
+    ``train.synthetic.synthetic_stereo_scene``): ``False`` gives scenes with
+    appearance-INDEPENDENT layer disparities — the right test for stereo
+    *matching*, but information-theoretically unsolvable for single-view
+    synthesis; ``True`` gives KITTI-like scenes whose appearance predicts
+    depth, the fair family for evaluating the RVS path.
     """
 
     def __init__(self, n_frames: int = 8, height: int = 256,
@@ -30,7 +37,8 @@ class SyntheticStereoCamera(EvaluationCamera):
                  max_scene_disparity: float = 58.0,
                  disparity_boundaries: Tuple[int, int] = (0, 64),
                  return_right_view: bool = True, seed: int = 1234,
-                 focal_length: float = 720.0, baseline: float = 0.54):
+                 focal_length: float = 720.0, baseline: float = 0.54,
+                 depth_prior: bool = False):
         self._n = n_frames
         self._h, self._w = height, width
         self._dmin, self._dmax = min_scene_disparity, max_scene_disparity
@@ -38,6 +46,7 @@ class SyntheticStereoCamera(EvaluationCamera):
         self._return_right = return_right_view
         self._seed = seed
         self._f, self._b = focal_length, baseline
+        self._depth_prior = depth_prior
 
     def focal_length(self) -> float:
         return self._f
@@ -58,8 +67,9 @@ class SyntheticStereoCamera(EvaluationCamera):
 
         key = jax.random.fold_in(jax.random.PRNGKey(self._seed), index)
         left, right, gt = jax.jit(
-            synthetic_stereo_scene, static_argnums=(1, 2)
-        )(key, self._h, self._w, self._dmin, self._dmax)
+            synthetic_stereo_scene, static_argnums=(1, 2, 5, 6)
+        )(key, self._h, self._w, self._dmin, self._dmax, 6,
+          self._depth_prior)
         return (np.asarray(left), np.asarray(right), np.asarray(gt))
 
     def stream_image_pairs(self) -> Iterator[

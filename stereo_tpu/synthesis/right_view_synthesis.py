@@ -39,13 +39,27 @@ def _resize_chw(image, shape_hw):
 def synthesize_batch(model: Deep3D, variables, left_nchw: jnp.ndarray,
                      output_shape: Tuple[int, int],
                      full_shape: Tuple[int, int] = RVS_FULL_SHAPE,
-                     down_shape: Tuple[int, int] = RVS_DOWNSCALED_SHAPE) -> jnp.ndarray:
+                     down_shape: Tuple[int, int] = RVS_DOWNSCALED_SHAPE,
+                     compute_dtype=jnp.float32) -> jnp.ndarray:
     """(N, 3, H, W) 0..255 left views -> (N, 3, *output_shape) 0..255
-    synthesized right views.  Pure function; jitted by the wrapper."""
+    synthesized right views.  Pure function; jitted by the wrapper.
+
+    With ``compute_dtype=bfloat16`` the Deep3D forward (the VGG encoder and
+    FF block dominate the FLOPs) runs in bf16 on the MXU; the synthesized
+    view is cast back to f32 before the 0..255 rescale, so the error is
+    bounded by bf16's ~3 decimal digits on a 0..1 image (≈1 gray level).
+    """
     full = _resize_chw(left_nchw, full_shape) / 255.0
     down = _resize_chw(left_nchw, down_shape) / 255.0
+    if compute_dtype != jnp.float32:
+        cast = lambda t: (t.astype(compute_dtype)
+                          if isinstance(t, jnp.ndarray) and
+                          t.dtype == jnp.float32 else t)
+        variables = jax.tree_util.tree_map(cast, variables)
+        full = full.astype(compute_dtype)
+        down = down.astype(compute_dtype)
     right = model.apply(variables, full, down, train=False)
-    right = rescale_generated_view(right)
+    right = rescale_generated_view(right.astype(jnp.float32))
     if tuple(output_shape) != tuple(full_shape):
         right = _resize_chw(right, output_shape)
     return right
@@ -58,9 +72,11 @@ class RightViewSynthesis:
                  variables=None, checkpoint_dir: Optional[str] = None,
                  warmup: bool = False,
                  model_full_shape: Tuple[int, int] = RVS_FULL_SHAPE,
-                 model_down_shape: Tuple[int, int] = RVS_DOWNSCALED_SHAPE):
+                 model_down_shape: Tuple[int, int] = RVS_DOWNSCALED_SHAPE,
+                 compute_dtype: str = "float32"):
         self.model = Deep3D()
         self.output_shape = tuple(output_shape)
+        self.compute_dtype = jnp.dtype(compute_dtype)
         self.model_full_shape = tuple(model_full_shape)
         self.model_down_shape = tuple(model_down_shape)
         self._ckpt_meta: dict = {}
@@ -80,7 +96,8 @@ class RightViewSynthesis:
         self._fn = jax.jit(functools.partial(
             synthesize_batch, self.model, output_shape=self.output_shape,
             full_shape=self.model_full_shape,
-            down_shape=self.model_down_shape))
+            down_shape=self.model_down_shape,
+            compute_dtype=self.compute_dtype))
         if warmup:
             self.warmup()
 

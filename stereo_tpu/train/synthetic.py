@@ -78,11 +78,15 @@ def synthetic_stereo_scene(
         key: jax.Array, height: int, width: int,
         min_disparity: float = 6.0, max_disparity: float = 58.0,
         n_layers: int = 6,
-        depth_prior: bool = False
-        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        depth_prior: bool = False,
+        with_right_frame_gt: bool = False):
     """One scene -> ``(left (3,H,W), right (3,H,W), gt_disparity (H,W))``,
     images float32 in 0..255 (the pipeline's camera contract), GT in
     left-frame full-resolution pixels.  Pure-jnp; jit/vmap safe.
+
+    ``with_right_frame_gt=True`` appends a fourth output: the disparity map
+    in RIGHT-frame coordinates (``right[y] = left[y + d_r(y)]``) — the frame
+    Deep3D's probability volume lives in, used for disparity supervision.
 
     ``depth_prior=False`` (stereo-training mode): every layer's disparity is
     random and appearance-independent — nets can only solve the task by
@@ -121,10 +125,13 @@ def synthetic_stereo_scene(
 
     right = _layer_texture(kbg, x_hw, y_hw)
     left = _layer_texture(kbg, x_hw, y_hw - d_bg)
+    # The background disparity varies per ROW only (or is constant), so the
+    # right-frame map starts identical to the left-frame one.
     disparity = d_bg
+    disparity_r = d_bg
 
     def body(i, state):
-        left, right, disparity = state
+        left, right, disparity, disparity_r = state
         k = jax.random.fold_in(klayers, i)
         kr, kt = jax.random.split(k)
         k1, k2, k3, k4, k5 = jax.random.split(kr, 5)
@@ -156,22 +163,27 @@ def synthetic_stereo_scene(
         right = jnp.where(mask_r[None], tex_r, right)
         left = jnp.where(mask_l[None], tex_l, left)
         disparity = jnp.where(mask_l, d, disparity)
-        return left, right, disparity
+        disparity_r = jnp.where(mask_r, d, disparity_r)
+        return left, right, disparity, disparity_r
 
-    left, right, disparity = lax.fori_loop(
-        1, n_layers, body, (left, right, disparity))
+    left, right, disparity, disparity_r = lax.fori_loop(
+        1, n_layers, body, (left, right, disparity, disparity_r))
+    if with_right_frame_gt:
+        return left, right, disparity, disparity_r
     return left, right, disparity
 
 
 def synthetic_stereo_batch(key: jax.Array, batch_size: int, height: int,
                            width: int, min_disparity: float = 6.0,
                            max_disparity: float = 58.0, n_layers: int = 6,
-                           depth_prior: bool = False):
-    """vmapped scenes -> ``(left (N,3,H,W), right, gt (N,H,W))``."""
+                           depth_prior: bool = False,
+                           with_right_frame_gt: bool = False):
+    """vmapped scenes -> ``(left (N,3,H,W), right, gt (N,H,W))`` (plus
+    ``gt_right`` when ``with_right_frame_gt``)."""
     keys = jax.random.split(key, batch_size)
     return jax.vmap(lambda k: synthetic_stereo_scene(
         k, height, width, min_disparity, max_disparity, n_layers,
-        depth_prior))(keys)
+        depth_prior, with_right_frame_gt))(keys)
 
 
 # ---------------------------------------------------------------------------
@@ -308,6 +320,14 @@ class SyntheticDeep3DTrainer:
     ``pipeline/synthesis/trainer.py:49-74`` — L1 loss, Adam 2e-4 — but with
     generated stereo pairs instead of KITTI drives).
 
+    ``disparity_loss_weight > 0`` adds auxiliary supervision the reference
+    cannot have (KITTI photometric-only): a Huber loss between the
+    soft-argmax of Deep3D's probability volume and the scene's EXACT
+    right-frame GT disparity.  Photometric L1 alone leaves the implied
+    geometry underdetermined wherever texture is locally ambiguous — the
+    aux term pins it, which is what downstream stereo matching on the
+    synthesized view actually needs.
+
     ``height``/``width`` must make ``(H/4, W/4)`` divisible by 32 (the VGG
     stride on the downscaled branch).
     """
@@ -315,7 +335,9 @@ class SyntheticDeep3DTrainer:
     def __init__(self, height: int = 256, width: int = 512,
                  batch_size: int = 2, learning_rate: float = 2e-4,
                  weight_decay: float = 1e-4, chunk: int = 10, seed: int = 0,
-                 max_scene_disparity: float = 58.0):
+                 max_scene_disparity: float = 58.0,
+                 disparity_loss_weight: float = 0.0,
+                 ce_loss_weight: float = 0.0):
         import optax
 
         from ..models import Deep3D
@@ -335,25 +357,65 @@ class SyntheticDeep3DTrainer:
         self.chunk = chunk
         self.step_count = 0
         model, optimizer = self.model, self.optimizer
+        w_disp = float(disparity_loss_weight)
+        w_ce = float(ce_loss_weight)
+        supervised = w_disp > 0.0 or w_ce > 0.0
         # depth_prior scenes: single-view synthesis is only learnable when
         # appearance predicts depth (see synthetic_stereo_scene docstring).
         gen = functools.partial(
             synthetic_stereo_batch, batch_size=batch_size, height=height,
             width=width, min_disparity=2.0,
-            max_disparity=max_scene_disparity, depth_prior=True)
+            max_disparity=max_scene_disparity, depth_prior=True,
+            with_right_frame_gt=supervised)
+        channels = jnp.arange(65, dtype=jnp.float32)   # Deep3D's 65 shifts
 
         def one_step(carry, _):
             params, opt_state, key = carry
             key, kgen, kdrop = jax.random.split(key, 3)
-            left, right, _ = gen(kgen)
+            if supervised:
+                left, right, _, gt_right = gen(kgen)
+            else:
+                left, right, _ = gen(kgen)
             left = left / 255.0
             right = right / 255.0
             down = _mean_pool_nchw(left, 4)
 
             def loss(p):
-                pred = model.apply({"params": p}, left, down, train=True,
-                                   rngs={"dropout": kdrop})
-                return jnp.abs(pred - right).mean()
+                if not supervised:
+                    pred = model.apply({"params": p}, left, down, train=True,
+                                       rngs={"dropout": kdrop})
+                    return jnp.abs(pred - right).mean()
+                pred, prob = model.apply(
+                    {"params": p}, left, down, train=True,
+                    rngs={"dropout": kdrop},
+                    method=Deep3D.synthesize_with_probabilities)
+                photo = jnp.abs(pred - right).mean()
+                total = photo
+                if w_disp > 0.0:
+                    # Soft-argmax regression: sub-pixel accurate but can be
+                    # satisfied by diffuse (even bimodal) distributions.
+                    expected_d = jnp.einsum("ndhw,d->nhw", prob, channels)
+                    err = expected_d - gt_right
+                    huber = jnp.where(jnp.abs(err) <= 1.0, 0.5 * err * err,
+                                      jnp.abs(err) - 0.5)
+                    total = total + w_disp * huber.mean()
+                if w_ce > 0.0:
+                    # Sub-pixel cross-entropy to the two straddling channels
+                    # (weights 1-frac / frac): forces a unimodal peak, so
+                    # the blended view doesn't ghost — ghosting is what
+                    # breaks downstream SAD matching on the synthesized
+                    # right view.
+                    gt_c = jnp.clip(gt_right, 0.0, 64.0)
+                    lo = jnp.floor(gt_c)
+                    frac = gt_c - lo
+                    logp = jnp.log(prob + 1e-9)
+                    lo_i = lo.astype(jnp.int32)[:, None]
+                    hi_i = jnp.minimum(lo_i + 1, 64)
+                    take = jnp.take_along_axis
+                    ce = -((1.0 - frac) * take(logp, lo_i, axis=1)[:, 0]
+                           + frac * take(logp, hi_i, axis=1)[:, 0])
+                    total = total + w_ce * ce.mean()
+                return total
 
             value, grads = jax.value_and_grad(loss)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -32,3 +32,26 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run @pytest.mark.slow tests (the handful of pathological "
+             "CPU-compile cases: MSNet2D full compiles, Orbax round trips)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy CPU-compile test, skipped unless --runslow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="heavy CPU compile; run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -106,7 +106,11 @@ class TestGwcNet:
 
 
 class TestMSNet:
-    @pytest.mark.parametrize("cls", [MSNet2D, MSNet3D])
+    # MSNet2D's interlaced-volume inference graph compiles pathologically
+    # slowly on XLA:CPU (~4 min); it stays covered by test_train_outputs
+    # (train-mode, cheaper) and the slow-marked full-inference case.
+    @pytest.mark.parametrize(
+        "cls", [pytest.param(MSNet2D, marks=pytest.mark.slow), MSNet3D])
     def test_inference_shape(self, cls):
         model = cls(max_disparity=16)
         x = jnp.zeros((1, 3, 32, 64), jnp.float32)
@@ -129,17 +133,26 @@ class TestMSNet:
 
 
 class TestDeep3D:
-    def test_synthesis_shapes_and_blend(self):
+    def test_synthesis_shapes_blend_and_probabilities(self):
+        """One compile covers the whole surface: ``__call__`` delegates to
+        ``synthesize_with_probabilities`` (same parameters by construction),
+        so applying the dual-output method checks the blended view AND the
+        probability volume."""
         model = Deep3D()
         full = jnp.zeros((1, 3, 128, 256), jnp.float32)
         down = jnp.zeros((1, 3, 32, 64), jnp.float32)
         variables = model.init(KEY, full, down, train=False)
         left = jax.random.uniform(KEY, (1, 3, 128, 256))
-        out = model.apply(variables, left, down, train=False)
+        left_down = jax.random.uniform(KEY, (1, 3, 32, 64))
+        out, prob = model.apply(variables, left, left_down, train=False,
+                                method=Deep3D.synthesize_with_probabilities)
         assert out.shape == (1, 3, 128, 256)
         # softmax blend of shifted copies: output within input value range
         assert float(out.max()) <= float(left.max()) + 1e-5
         assert float(out.min()) >= 0.0
+        assert prob.shape == (1, 65, 128, 256)
+        np.testing.assert_allclose(np.asarray(prob.sum(axis=1)), 1.0,
+                                   rtol=0, atol=1e-5)
 
     def test_registry(self):
         with pytest.raises(RuntimeError):

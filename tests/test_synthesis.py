@@ -23,3 +23,30 @@ class TestRightViewSynthesis:
         batch = np.zeros((2, 3, 48, 96), np.float32)
         out = np.asarray(rvs.process_batch(batch))
         assert out.shape == (2, 3, 48, 96)
+
+    def test_bfloat16_matches_float32(self):
+        """The bf16 Deep3D forward must track the f32 one to within a few
+        gray levels (the synthesized view is 0..255; bf16 carries ~3
+        decimal digits on the 0..1 pre-rescale image)."""
+        import jax
+
+        from stereo_tpu.models import Deep3D
+
+        model = Deep3D()
+        full = np.zeros((1, 3, 128, 256), np.float32)
+        down = np.zeros((1, 3, 32, 64), np.float32)
+        variables = model.init(jax.random.PRNGKey(1), full, down, train=False)
+
+        left = np.random.default_rng(2).integers(
+            0, 256, (3, 48, 96)).astype(np.float32)
+        outs = {}
+        for dtype in ("float32", "bfloat16"):
+            rvs = RightViewSynthesis(output_shape=(48, 96),
+                                     variables=variables,
+                                     model_full_shape=(128, 256),
+                                     model_down_shape=(32, 64),
+                                     compute_dtype=dtype)
+            outs[dtype] = np.asarray(rvs.process(left))
+        diff = np.abs(outs["bfloat16"] - outs["float32"])
+        assert outs["bfloat16"].dtype == np.float32
+        assert float(diff.mean()) < 2.0 and float(diff.max()) <= 16.0

@@ -41,6 +41,30 @@ class TestSceneGenerator:
         np.testing.assert_allclose(left[:, :, 7:], right[:, :, :-7],
                                    rtol=0, atol=1e-4)
 
+    def test_right_frame_gt_consistency(self):
+        """The right-frame GT must satisfy ``gt_left[x, y + d_r(x,y)] ==
+        d_r(x,y)`` wherever the sampled left-frame pixel is not occluded —
+        nearest-neighbor sampling, piecewise-constant maps, so agreement is
+        exact away from layer boundaries (allow a small boundary budget)."""
+        left, right, gt_l, gt_r = jax.jit(
+            synthetic_stereo_scene, static_argnums=(1, 2, 5, 6, 7)
+        )(jax.random.PRNGKey(11), 64, 128, 3.0, 20.0, 6, False, True)
+        gt_l, gt_r = np.asarray(gt_l), np.asarray(gt_r)
+        h, w = gt_r.shape
+        ys = np.arange(w)[None, :] + np.rint(gt_r).astype(int)
+        valid = ys < w
+        xs = np.broadcast_to(np.arange(h)[:, None], (h, w))
+        sampled = gt_l[xs[valid], np.clip(ys, 0, w - 1)[valid]]
+        agree = np.abs(sampled - gt_r[valid]) < 0.51
+        # Disagreements are confined to occlusions + rounded layer edges.
+        assert agree.mean() > 0.90, float(agree.mean())
+        # And at a degenerate single-disparity scene it must be exact.
+        _, _, gl, gr = synthetic_stereo_scene(
+            jax.random.PRNGKey(12), 32, 64, 9.0, 9.0,
+            with_right_frame_gt=True)
+        np.testing.assert_allclose(np.asarray(gl), 9.0)
+        np.testing.assert_allclose(np.asarray(gr), 9.0)
+
     def test_deterministic_in_key(self):
         a = synthetic_stereo_scene(jax.random.PRNGKey(5), 32, 64)
         b = synthetic_stereo_scene(jax.random.PRNGKey(5), 32, 64)
@@ -116,12 +140,30 @@ class TestSyntheticTrainer:
         assert len(losses) == 4
         assert all(np.isfinite(v) for v in losses)
 
+    def test_deep3d_disparity_supervision_step(self):
+        """One aux-supervised Deep3D step must run and produce a finite
+        combined loss (photometric L1 + Huber on the soft-argmax vs the
+        right-frame GT)."""
+        from stereo_tpu.train.synthetic import SyntheticDeep3DTrainer
+
+        tr = SyntheticDeep3DTrainer(height=128, width=256, batch_size=1,
+                                    chunk=1, disparity_loss_weight=0.02,
+                                    ce_loss_weight=0.05,
+                                    max_scene_disparity=30.0)
+        losses = tr.train(1, log_every_chunks=0)
+        assert len(losses) == 1 and np.isfinite(losses[0])
+
 
 class TestTrainedCheckpoints:
     """Accuracy gate: the committed trained weights must beat random init
     by a wide margin on held-out scenes (skips until checkpoints exist)."""
 
-    @pytest.mark.parametrize("name", ["gwcnet", "msnet2d", "msnet3d"])
+    @pytest.mark.parametrize(
+        "name", ["gwcnet",
+                 # msnet2d's inference compile is the suite's slowest single
+                 # item on CPU; gwcnet+msnet3d keep the gate meaningful.
+                 pytest.param("msnet2d", marks=pytest.mark.slow),
+                 "msnet3d"])
     def test_trained_beats_random(self, name):
         ckpt = os.path.join(REPO, "data", "checkpoints", name)
         if not (os.path.isfile(ckpt + ".npz")

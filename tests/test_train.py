@@ -78,6 +78,7 @@ class TestDeep3DTrainer:
         after = jax.tree_util.tree_leaves(tr.params)[0]
         assert not np.array_equal(np.asarray(before), np.asarray(after))
 
+    @pytest.mark.slow  # two Deep3D inits + an Orbax round trip (~5 min CPU)
     def test_checkpoint_roundtrip(self, tmp_path):
         tr = self._small_trainer()
         tr.epoch = 7
@@ -105,6 +106,7 @@ class TestStereoTrainer:
             lefts.append(l); rights.append(r); disps.append(d)
         return Kitti2015StereoDataset(lefts, rights, disps, crop=(32, 64))
 
+    @pytest.mark.slow  # MSNet2D train-mode compile is pathological on CPU
     def test_one_epoch_and_export(self, dataset, tmp_path):
         cfg = TrainerConfig(batch_size=2, n_epochs=1, log_every=0)
         tr = StereoTrainer("msnet2d", max_disparity=16, config=cfg,
