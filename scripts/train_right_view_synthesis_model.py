@@ -30,7 +30,8 @@ def train_synthetic(args) -> None:
         height=args.crop[0], width=args.crop[1],
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         chunk=args.chunk, disparity_loss_weight=args.disparity_loss_weight,
-        ce_loss_weight=args.ce_loss_weight)
+        ce_loss_weight=args.ce_loss_weight,
+        schedule_steps=(args.steps if args.cosine_schedule else 0))
     losses = trainer.train(args.steps)
     out = args.export_dir
     if not out.endswith(".npz"):
@@ -41,6 +42,9 @@ def train_synthetic(args) -> None:
     with open(curve, "w") as f:
         json.dump({"steps": args.steps,
                    "disparity_loss_weight": args.disparity_loss_weight,
+                   "ce_loss_weight": args.ce_loss_weight,
+                   "cosine_schedule": args.cosine_schedule,
+                   "batch_size": args.batch_size,
                    "losses": losses}, f)
     print(f"Exported to {out}; loss curve at {curve}")
 
@@ -64,6 +68,9 @@ def main() -> None:
                         help="synthetic mode: weight of the sub-pixel cross-"
                              "entropy to the GT disparity channel (sharpens "
                              "the probability volume against blend ghosting)")
+    parser.add_argument("--cosine-schedule", action="store_true",
+                        help="synthetic mode: warmup-cosine LR decay over "
+                             "--steps instead of a constant learning rate")
     parser.add_argument("--checkpoint", default="data/checkpoints/deep3d_train")
     parser.add_argument("--export-dir", default=DEEP3D_CHECKPOINT_DIR)
     parser.add_argument("--resume", action="store_true")

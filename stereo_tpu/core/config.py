@@ -111,6 +111,12 @@ class PipelineConfig:
     log_perf_time: bool = False
     matching: Optional[MatchingConfig] = None   # derived if None
     mesh: Optional["MeshConfig"] = None
+    # DNN compute precision for the neural paths (the DNN matching backends
+    # and Deep3D right-view synthesis): "bfloat16" runs their forwards on
+    # the MXU in bf16 (~1.3x on GwcNet; sub-0.1px disparity delta, ≈1 gray
+    # level on the synthesized view).  The classical engine is unaffected
+    # (exactness is its contract).
+    compute_dtype: str = "float32"
 
     _BACKENDS = ("classical", "cuda", "gwcnet", "msnet2d", "msnet3d")
 
@@ -120,6 +126,10 @@ class PipelineConfig:
                 f"Unsupported stereo matching backend: {self.stereo_matching_backend!r}; "
                 f"expected one of {self._BACKENDS}"
             )
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"Unsupported compute_dtype: {self.compute_dtype!r}; "
+                "expected 'float32' or 'bfloat16'")
 
     def update(self, **kwargs) -> "PipelineConfig":
         """Validated functional update (reference semantics of

@@ -101,7 +101,8 @@ class DepthEstimationPipeline:
             # convolutional so the same parameters serve any depth.
             model_d = max(32, -(-int(cfg.max_disparity) // 4) * 4)
             return DnnStereoMatchingBackend(name, image_shape=cfg.image_shape,
-                                            max_disparity=model_d)
+                                            max_disparity=model_d,
+                                            compute_dtype=cfg.compute_dtype)
         if name in ("classical", "cuda"):  # "cuda" kept as a parity alias
             if cfg.mesh is not None and cfg.mesh.num_devices > 1:
                 from .backends import ShardedClassicalBackend
@@ -113,5 +114,6 @@ class DepthEstimationPipeline:
         if self._right_view_synthesis is None:
             from ..synthesis import RightViewSynthesis
             self._right_view_synthesis = RightViewSynthesis(
-                output_shape=self._config.image_shape)
+                output_shape=self._config.image_shape,
+                compute_dtype=self._config.compute_dtype)
         return self._right_view_synthesis

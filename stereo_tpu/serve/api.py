@@ -252,12 +252,18 @@ def main() -> None:
     parser.add_argument("--micro-batch", type=int, default=1,
                         help=">1 coalesces concurrent requests into device "
                              "batches")
+    parser.add_argument("--compute-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="precision of the neural paths (DNN backends + "
+                             "right-view synthesis); bfloat16 trades ~0.1px "
+                             "disparity for MXU throughput")
     args = parser.parse_args()
 
     config = PipelineConfig(image_shape=(args.height, args.width),
                             min_disparity=0,
                             max_disparity=args.max_disparity,
-                            stereo_matching_backend=args.backend)
+                            stereo_matching_backend=args.backend,
+                            compute_dtype=args.compute_dtype)
     DepthEstimationServer(config,
                           micro_batch=args.micro_batch).serve(args.host,
                                                               args.port)

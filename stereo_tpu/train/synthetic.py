@@ -107,21 +107,23 @@ def synthetic_stereo_scene(
 
     if depth_prior:
         # Background: per-row disparity ramp (still row-wise closed-form:
-        # left row x samples the texture at y - d_bg(x)).
-        kb1, kb2 = jax.random.split(kd)
+        # left row x samples the texture at y - d_bg(x)).  The ramp's near
+        # value is FIXED, not drawn: a random latent would be invisible in
+        # the left view, putting an aleatoric floor of several px under any
+        # single-view network (measured: disp-D1 plateaus ~0.53 no matter
+        # the supervision).  Real monocular cues (ground plane, object
+        # size) are deterministic given appearance; the synthetic prior
+        # must be too for the eval to measure the network.
         span = max_disparity - min_disparity
-        near = min_disparity + span * jax.random.uniform(
-            kb1, minval=0.35, maxval=0.75)
+        near = min_disparity + span * 0.55
         d_bg_row = min_disparity + (near - min_disparity) * (
             x_hw[:, :1] / max(height - 1, 1)) ** 1.5       # (H, 1)
         d_bg = jnp.broadcast_to(d_bg_row, (height, width))
         ds = None
-        k_disp = kb2
     else:
         ds = jnp.sort(jax.random.uniform(
             kd, (n_layers,), minval=min_disparity, maxval=max_disparity))
         d_bg = jnp.full((height, width), ds[0])
-        k_disp = None
 
     right = _layer_texture(kbg, x_hw, y_hw)
     left = _layer_texture(kbg, x_hw, y_hw - d_bg)
@@ -142,12 +144,15 @@ def synthetic_stereo_scene(
         y0 = jax.random.uniform(k4, minval=-rect_w / 4,
                                 maxval=width - rect_w * 0.75)
         if depth_prior:
-            # Disparity tied to the rect's vertical center: objects lower in
-            # the image are closer (larger d) — learnable from the left view.
+            # Disparity tied DETERMINISTICALLY to the rect's vertical
+            # center: objects lower in the image are closer (larger d).
+            # No random scale factor — an unobservable latent would make
+            # the monocular task irreducibly noisy (see the background
+            # comment above); del k5 keeps the PRNG stream layout.
+            del k5
             center = jnp.clip((x0 + rect_h / 2) / height, 0.0, 1.0)
-            u = jax.random.uniform(k5, minval=0.8, maxval=1.1)
             d = jnp.clip(min_disparity
-                         + (max_disparity - min_disparity) * center * u,
+                         + (max_disparity - min_disparity) * center,
                          min_disparity, max_disparity)
         else:
             d = ds[i]
@@ -337,7 +342,8 @@ class SyntheticDeep3DTrainer:
                  weight_decay: float = 1e-4, chunk: int = 10, seed: int = 0,
                  max_scene_disparity: float = 58.0,
                  disparity_loss_weight: float = 0.0,
-                 ce_loss_weight: float = 0.0):
+                 ce_loss_weight: float = 0.0,
+                 schedule_steps: int = 0):
         import optax
 
         from ..models import Deep3D
@@ -350,8 +356,15 @@ class SyntheticDeep3DTrainer:
         variables = self.model.init({"params": key, "dropout": key}, full,
                                     down, train=True)
         self.params = variables["params"]
-        self.optimizer = optax.adamw(learning_rate,
-                                     weight_decay=weight_decay)
+        # schedule_steps > 0: warmup-cosine decay to lr/20 over that horizon
+        # (constant-lr runs plateau — the fine geometry never anneals in).
+        lr = (optax.warmup_cosine_decay_schedule(
+                  init_value=learning_rate * 0.05, peak_value=learning_rate,
+                  warmup_steps=max(100, schedule_steps // 100),
+                  decay_steps=schedule_steps,
+                  end_value=learning_rate * 0.05)
+              if schedule_steps > 0 else learning_rate)
+        self.optimizer = optax.adamw(lr, weight_decay=weight_decay)
         self.opt_state = self.optimizer.init(self.params)
         self.key = jax.random.PRNGKey(seed + 1)
         self.chunk = chunk

@@ -149,6 +149,12 @@ class TestRunner:
         with pytest.raises(RuntimeError):
             validate_pipeline_config_wrt_camera(bad, cam)
 
+    def test_compute_dtype_validation(self):
+        assert PipelineConfig(compute_dtype="bfloat16").compute_dtype == \
+            "bfloat16"
+        with pytest.raises(ValueError):
+            PipelineConfig(compute_dtype="float16")
+
     def test_run_with_hooks(self):
         cam = FakeStereoCamera(n_frames=3)
         pipeline = self._pipeline()
