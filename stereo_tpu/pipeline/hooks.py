@@ -56,7 +56,8 @@ class LambdaHook(DepthEstimationPipelineHook):
 class DisparityMapCompletionLogger(DepthEstimationPipelineHook):
 
     def process(self, context: DepthEstimationPipelineContext) -> None:
-        print(f"Computed disparity map: {tuple(context.disparity_map.shape)}...")
+        shape = tuple(context.disparity_map.shape)
+        print(f"[hook] frame {context.frame_index}: disparity ready, shape={shape}")
 
 
 class DisparityMapSaver(DepthEstimationPipelineHook):
@@ -105,7 +106,7 @@ class PointCloudSaver(DepthEstimationPipelineHook):
             depth = (self._baseline * self._focal_length) / disparity
         valid = disparity != self._invalid_disparity
         save_point_cloud_from_depth(depth, valid, path)
-        print(f"Saved point cloud: {path}...")
+        print(f"[hook] frame {context.frame_index}: point cloud -> {path}")
 
     @staticmethod
     def for_camera(camera: Camera, save_dir: str,
