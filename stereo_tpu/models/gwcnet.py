@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 from .cost_volumes import (build_concat_volume, build_gwc_volume,
                            disparity_regression)
-from .layers import (BasicResBlock, ConvBnAct, DeconvBn, nchw_to_nhwc,
-                     upsample_trilinear)
+from .layers import (BasicResBlock, Conv3dMXU, ConvBnAct, DeconvBn,
+                     nchw_to_nhwc, upsample_trilinear)
 
 
 class GwcFeatureExtractor(nn.Module):
@@ -83,7 +83,7 @@ class Classifier3D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBnAct(self.channels, (3, 3, 3))(x, train)
-        return nn.Conv(1, (3, 3, 3), padding="SAME", use_bias=False)(x)
+        return Conv3dMXU(1, (3, 3, 3), name="Conv_0")(x)
 
 
 class GwcNet(nn.Module):

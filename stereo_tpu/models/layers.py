@@ -25,6 +25,36 @@ def nhwc_to_nchw(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(x, (0, 3, 1, 2))
 
 
+class Conv3dMXU(nn.Module):
+    """Drop-in for a bias-optional SAME ``nn.Conv`` over NDHWC volumes that
+    routes through :func:`stereo_tpu.ops.conv3d.conv3d_mxu` — exact 2-D
+    reformulations that fill the MXU's 128 output lanes (1.2-3.2x faster
+    than the native 3-D conv at the 1-64 channel widths these networks
+    use).  Parameter names/shapes match ``nn.Conv`` (``kernel`` of
+    (kd, kh, kw, cin, cout), optional ``bias``), so checkpoints are
+    interchangeable; instantiate with ``name="Conv_0"`` (or the original
+    conv's name) to keep existing param trees loading unchanged.
+    """
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    stride: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv3d import conv3d_mxu
+
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       tuple(self.kernel) + (x.shape[-1], self.features))
+        dtype = jnp.promote_types(x.dtype, w.dtype)
+        out = conv3d_mxu(x.astype(dtype), w.astype(dtype), self.stride)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + b.astype(dtype)
+        return out
+
+
 class ConvBnAct(nn.Module):
     """Conv -> BatchNorm -> optional ReLU (2-D or 3-D by kernel rank)."""
 
@@ -37,12 +67,19 @@ class ConvBnAct(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         strides = ([self.strides] * len(self.kernel)
-                   if isinstance(self.strides, int) else self.strides)
+                   if isinstance(self.strides, int) else list(self.strides))
         dilation = ([self.dilation] * len(self.kernel)
-                    if isinstance(self.dilation, int) else self.dilation)
-        x = nn.Conv(self.features, tuple(self.kernel), strides=tuple(strides),
-                    kernel_dilation=tuple(dilation), padding="SAME",
-                    use_bias=False)(x)
+                    if isinstance(self.dilation, int) else list(self.dilation))
+        if (len(self.kernel) == 3 and len(set(strides)) == 1
+                and strides[0] in (1, 2) and set(dilation) == {1}):
+            # 3-D conv on the MXU-packed path (same params as nn.Conv)
+            x = Conv3dMXU(self.features, tuple(self.kernel), strides[0],
+                          name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.features, tuple(self.kernel),
+                        strides=tuple(strides),
+                        kernel_dilation=tuple(dilation), padding="SAME",
+                        use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train)(x)
         if self.act:
             x = nn.relu(x)

@@ -25,8 +25,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .cost_volumes import build_concat_volume, disparity_regression
-from .layers import (ConvBnAct, DeconvBn, MobileV2Block2D, MobileV2Block3D,
-                     SeparableConvBn2D, nchw_to_nhwc, upsample_trilinear)
+from .layers import (Conv3dMXU, ConvBnAct, DeconvBn, MobileV2Block2D,
+                     MobileV2Block3D, SeparableConvBn2D, nchw_to_nhwc,
+                     upsample_trilinear)
 
 
 class MobileFeatureExtractor(nn.Module):
@@ -202,8 +203,8 @@ class MSNet3D(nn.Module):
             x = Hourglass3DSeparable(32)(x, train)
             if train or i == 2:
                 head = MobileV2Block3D(32, name=f"head{i}")(x, train)
-                logits = nn.Conv(1, (3, 3, 3), padding="SAME",
-                                 name=f"classif{i}")(head)
+                logits = Conv3dMXU(1, (3, 3, 3), use_bias=True,
+                                   name=f"classif{i}")(head)
                 outputs.append(logits)
 
         def regress(logits_ndhwc):
