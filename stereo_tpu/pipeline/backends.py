@@ -78,6 +78,33 @@ class ShardedClassicalBackend(StereoMatchingBackend):
         return self.engine.compute_disparity_maps(left_batch, right_batch)
 
 
+class ShardedDnnBackend(StereoMatchingBackend):
+    """DNN stereo inference GSPMD-partitioned over a (data, tile, disp)
+    mesh (``stereo_tpu.parallel.dnn``) — selected when the pipeline config
+    carries a :class:`~stereo_tpu.core.config.MeshConfig` and a DNN backend
+    name.  Single frames replicate across the batch group; batches must be
+    group-divisible."""
+
+    def __init__(self, model_name: str, image_shape, mesh_config,
+                 max_disparity: int = 192, compute_dtype: str = "float32"):
+        from ..parallel import ShardedDnnEngine
+
+        self.engine = ShardedDnnEngine(model_name, image_shape, mesh_config,
+                                       max_disparity=max_disparity,
+                                       compute_dtype=compute_dtype)
+
+    def process(self, left_image, right_image) -> jax.Array:
+        g = self.engine.batch_group
+        left = jnp.broadcast_to(jnp.asarray(left_image, jnp.float32)[None],
+                                (g,) + tuple(left_image.shape))
+        right = jnp.broadcast_to(jnp.asarray(right_image, jnp.float32)[None],
+                                 (g,) + tuple(right_image.shape))
+        return self.engine.process_batch(left, right)[0]
+
+    def process_batch(self, left_batch, right_batch) -> jax.Array:
+        return self.engine.process_batch(left_batch, right_batch)
+
+
 def normalize_imagenet(image_chw: jnp.ndarray) -> jnp.ndarray:
     """0..255 CHW -> ImageNet-normalized CHW float32."""
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)[:, None, None]

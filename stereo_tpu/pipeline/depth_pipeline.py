@@ -100,6 +100,12 @@ class DepthEstimationPipeline:
             # for the 1/4-resolution volume); the networks are fully
             # convolutional so the same parameters serve any depth.
             model_d = max(32, -(-int(cfg.max_disparity) // 4) * 4)
+            if cfg.mesh is not None and cfg.mesh.num_devices > 1:
+                from .backends import ShardedDnnBackend
+                return ShardedDnnBackend(name, image_shape=cfg.image_shape,
+                                         mesh_config=cfg.mesh,
+                                         max_disparity=model_d,
+                                         compute_dtype=cfg.compute_dtype)
             return DnnStereoMatchingBackend(name, image_shape=cfg.image_shape,
                                             max_disparity=model_d,
                                             compute_dtype=cfg.compute_dtype)
