@@ -95,6 +95,62 @@ def conv3d_shiftadd(x, w, stride=1):
     return (y0 + y1 + y2[:, :dout])[:, :dout]
 
 
+def conv3d_dstack(x, w, stride=1):
+    """(3,k,k) conv = 2-D conv over the N*D batch with the kd neighbor
+    planes folded into input channels (im2col over D only): lanes = C_out,
+    FLOPs = native, input traffic 3x."""
+    n, d, h, wd, cin = x.shape
+    kd, kh, kw, _, cout = w.shape
+    zero = jnp.zeros_like(x[:, :1])
+    x3 = jnp.concatenate([
+        jnp.concatenate([zero, x[:, :-1]], axis=1),
+        x,
+        jnp.concatenate([x[:, 1:], zero], axis=1)], axis=-1)
+    if stride == 2:
+        # SAME s2 in D (even d) pads (0,1): out z is centered on plane 2z+1
+        x3 = x3[:, 1::2]
+    dout = x3.shape[1]
+    x2 = x3.reshape(n * dout, h, wd, kd * cin)
+    w2 = w.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kd * cin, cout)
+    y = lax.conv_general_dilated(
+        x2, w2, window_strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ho, wo = y.shape[1], y.shape[2]
+    return y.reshape(n, dout, ho, wo, cout)
+
+
+def conv3d_tapmat(x, w, stride=1):
+    """Small-C_out path: ONE matmul with the 27 taps unfolded into lanes
+    (27*C_out output channels), then a shifted-add tap reduction.  FLOPs =
+    native; lanes = 27*C_out; extra HBM = a 27*C_out-channel partial."""
+    n, d, h, wd, cin = x.shape
+    kd, kh, kw, _, cout = w.shape
+    assert stride == 1
+    # partial[p, (tz,ty,tx,co)] = x[p, :] . w[tz,ty,tx,:,co]
+    wm = w.reshape(kd * kh * kw, cin, cout)
+    wm = jnp.moveaxis(wm, 1, 0).reshape(cin, kd * kh * kw * cout)
+    part = (x.reshape(-1, cin) @ wm).reshape(n, d, h, wd, kd, kh, kw, cout)
+    out = jnp.zeros((n, d, h, wd, cout), part.dtype)
+    for tz in range(kd):
+        for ty in range(kh):
+            for tx in range(kw):
+                sl = part[:, :, :, :, tz, ty, tx]
+                # out[z,y,x] += part[z+pz, y+py, x+px]  (0 outside)
+                pz, py, px = tz - kd // 2, ty - kh // 2, tx - kw // 2
+                pad = [(0, 0),
+                       (max(-pz, 0), max(pz, 0)),
+                       (max(-py, 0), max(py, 0)),
+                       (max(-px, 0), max(px, 0)),
+                       (0, 0)]
+                sh = jnp.pad(sl, pad)
+                sh = sh[:,
+                        max(pz, 0):sh.shape[1] - max(-pz, 0),
+                        max(py, 0):sh.shape[2] - max(-py, 0),
+                        max(px, 0):sh.shape[3] - max(-px, 0)]
+                out = out + sh
+    return out
+
+
 def _bench(name, fn, args, m=20):
     @jax.jit
     def run(seed, *a):
@@ -139,25 +195,40 @@ def main():
         ws = jnp.asarray(rng.standard_normal((3, 3, 3, 5, 7)), jnp.float32)
         ref = conv3d_ref(xs, ws, stride)
         for name, fn in (("chunked", conv3d_chunked),
-                         ("shiftadd", conv3d_shiftadd)):
+                         ("shiftadd", conv3d_shiftadd),
+                         ("dstack", conv3d_dstack),
+                         ("tapmat", conv3d_tapmat)):
+            if name == "tapmat" and stride != 1:
+                continue
             err = float(jnp.max(jnp.abs(ref - fn(xs, ws, stride))))
             status = "OK" if err < 1e-3 else "FAIL"
             print(f"correctness {name} s{stride}: maxerr {err:.2e} {status}")
 
-    print(f"\n{'shape':20s} {'native':>9s} {'chunked':>9s} {'shiftadd':>9s}")
+    print(f"\n{'shape':20s} {'native':>9s} {'chunked':>9s} {'shiftadd':>9s} "
+          f"{'dstack':>9s} {'tapmat':>9s}")
     for name, d, h, w, cin, cout, stride in SHAPES:
         x = jax.device_put(jnp.asarray(
             rng.standard_normal((1, d, h, w, cin)), dtype))
         wt = jax.device_put(jnp.asarray(
             0.1 * rng.standard_normal((3, 3, 3, cin, cout)), dtype))
-        tn = _bench("n", lambda a, b, s=stride: conv3d_ref(a, b, s), (x, wt))
-        tc = _bench("c", lambda a, b, s=stride: conv3d_chunked(a, b, s),
-                    (x, wt))
-        ts = _bench("s", lambda a, b, s=stride: conv3d_shiftadd(a, b, s),
-                    (x, wt))
-        print(f"{name:20s} {tn * 1e3:7.2f}ms {tc * 1e3:7.2f}ms "
-              f"{ts * 1e3:7.2f}ms   best {min(tn, tc, ts) / tn:4.2f}x-of-native"
-              f" ({'native' if tn <= min(tc, ts) else ('chunked' if tc <= ts else 'shiftadd')})")
+        times = {}
+        times["native"] = _bench(
+            "n", lambda a, b, s=stride: conv3d_ref(a, b, s), (x, wt))
+        times["chunked"] = _bench(
+            "c", lambda a, b, s=stride: conv3d_chunked(a, b, s), (x, wt))
+        times["shiftadd"] = _bench(
+            "s", lambda a, b, s=stride: conv3d_shiftadd(a, b, s), (x, wt))
+        times["dstack"] = _bench(
+            "d", lambda a, b, s=stride: conv3d_dstack(a, b, s), (x, wt))
+        if stride == 1 and 27 * cout <= 128:
+            times["tapmat"] = _bench(
+                "t", lambda a, b, s=stride: conv3d_tapmat(a, b, s), (x, wt))
+        cells = " ".join(
+            f"{times[k] * 1e3:7.2f}ms" if k in times else f"{'—':>9s}"
+            for k in ("native", "chunked", "shiftadd", "dstack", "tapmat"))
+        best = min(times, key=times.get)
+        print(f"{name:20s} {cells}   best {times[best] / times['native']:4.2f}"
+              f"x-of-native ({best})")
 
 
 if __name__ == "__main__":

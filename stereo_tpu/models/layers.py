@@ -192,6 +192,28 @@ class MobileV2Block3D(nn.Module):
         return out
 
 
+class Deconv3dParityMXU(nn.Module):
+    """Drop-in for a bias-free SAME (4,4,4)/stride-2 ``nn.ConvTranspose``
+    over NDHWC volumes that routes through
+    :func:`stereo_tpu.ops.conv3d.deconv3d_parity` — one (2,2,2) conv with
+    ``8 * c_out`` output lanes plus a pixel-shuffle interleave, measured
+    1.1-1.2x the native transposed conv on v5e
+    (``scripts/microbench_deconv3d.py``).  Parameter name/shape matches
+    ``nn.ConvTranspose`` (``kernel`` of (4,4,4,cin,cout)), so existing
+    checkpoints load unchanged when instantiated as ``ConvTranspose_0``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv3d import deconv3d_parity
+
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (4, 4, 4, x.shape[-1], self.features))
+        dtype = jnp.promote_types(x.dtype, w.dtype)
+        return deconv3d_parity(x.astype(dtype), w.astype(dtype))
+
+
 class DeconvBn(nn.Module):
     """Transposed conv (x2 upsampling) + BN, 2-D or 3-D by kernel rank."""
 
@@ -201,9 +223,14 @@ class DeconvBn(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.ConvTranspose(self.features, tuple(self.kernel),
-                             strides=tuple(self.strides), padding="SAME",
-                             use_bias=False)(x)
+        if tuple(self.kernel) == (4, 4, 4) and tuple(self.strides) == (2, 2, 2):
+            # 3-D x2 deconv on the MXU-packed path (same params)
+            x = Deconv3dParityMXU(self.features,
+                                  name="ConvTranspose_0")(x)
+        else:
+            x = nn.ConvTranspose(self.features, tuple(self.kernel),
+                                 strides=tuple(self.strides), padding="SAME",
+                                 use_bias=False)(x)
         return nn.BatchNorm(use_running_average=not train)(x)
 
 

@@ -109,6 +109,34 @@ def conv3d_shiftadd(x: jnp.ndarray, w: jnp.ndarray,
     return (y0[:, :dout] + y1[:, :dout] + y2[:, :dout])
 
 
+def deconv3d_parity(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Exact (4,4,4)/stride-2 SAME transposed conv (flax ``ConvTranspose``
+    semantics) via ONE (2,2,2) conv with ``8 * c_out`` output channels (one
+    per output parity class (z%2, y%2, x%2) — full MXU lanes) followed by a
+    pixel-shuffle interleave.  Tap mapping (probed against flax):
+    out[2j+p] uses taps w[2t+p] over window x[j-1+t] (p=0) / x[j+t] (p=1).
+    """
+    n, d, h, wd, cin = x.shape
+    kd, kh, kw, _, cout = w.shape
+    if (kd, kh, kw) != (4, 4, 4):
+        raise ValueError(f"deconv3d_parity needs a (4,4,4) kernel, got "
+                         f"{(kd, kh, kw)}")
+    wp = w.reshape(2, 2, 2, 2, 2, 2, cin, cout)      # (tz,pz,ty,py,tx,px,..)
+    wp = wp.transpose(0, 2, 4, 6, 1, 3, 5, 7)        # (tz,ty,tx,ci,pz,py,px,co)
+    wp = wp.reshape(2, 2, 2, cin, 8 * cout)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    y = lax.conv_general_dilated(
+        xp, wp, window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))  # (N,d+1,h+1,w+1,8co)
+    y = y.reshape(n, d + 1, h + 1, wd + 1, 2, 2, 2, cout)
+    out = jnp.stack([
+        y[:, pz:pz + d, py:py + h, px:px + wd, pz, py, px]
+        for pz in (0, 1) for py in (0, 1) for px in (0, 1)], axis=-2)
+    out = out.reshape(n, d, h, wd, 2, 2, 2, cout)
+    out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return out.reshape(n, 2 * d, 2 * h, 2 * wd, cout)
+
+
 def conv3d_mxu(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     """Measured-best dispatch for NDHWC (kd,kh,kw) SAME convs (see module
     docstring).  Falls back to the native conv whenever the reformulations

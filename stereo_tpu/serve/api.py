@@ -257,13 +257,24 @@ def main() -> None:
                         help="precision of the neural paths (DNN backends + "
                              "right-view synthesis); bfloat16 trades ~0.1px "
                              "disparity for MXU throughput")
+    parser.add_argument("--mesh", default=None, metavar="DATA,TILE,DISP",
+                        help="serve through the mesh-sharded engine, e.g. "
+                             "'2,2,1' (classical: hand-written collectives; "
+                             "DNN backends: GSPMD partitioning). Requires "
+                             "data*tile*disp visible devices.")
     args = parser.parse_args()
 
+    mesh = None
+    if args.mesh:
+        from ..core.config import MeshConfig
+        data, tile, disp = (int(v) for v in args.mesh.split(","))
+        mesh = MeshConfig(data=data, tile=tile, disp=disp)
     config = PipelineConfig(image_shape=(args.height, args.width),
                             min_disparity=0,
                             max_disparity=args.max_disparity,
                             stereo_matching_backend=args.backend,
-                            compute_dtype=args.compute_dtype)
+                            compute_dtype=args.compute_dtype,
+                            mesh=mesh)
     DepthEstimationServer(config,
                           micro_batch=args.micro_batch).serve(args.host,
                                                               args.port)
