@@ -119,6 +119,42 @@ def conv3d_dstack(x, w, stride=1):
     return y.reshape(n, dout, ho, wo, cout)
 
 
+def conv3d_bandwin(x, w, stride=1, db=None):
+    """Chunked banding WITHOUT the explicit HBM im2col: the overlapping
+    db-plane windows are expressed as a conv with D-window ``span`` and
+    D-stride ``stride*db`` — XLA's own window machinery walks the overlaps.
+    Kernel content identical to ``conv3d_chunked``'s banded weights; output
+    needs one (zc, zb) interleave transpose."""
+    n, d, h, wd, cin = x.shape
+    kd, kh, kw, _, cout = w.shape
+    assert kd == 3
+    dout = (d + stride - 1) // stride
+    if db is None:
+        db = max(1, min(128 // cout, dout))
+    while dout % db:
+        db -= 1
+    nchunk = dout // db
+    span = stride * (db - 1) + 3
+    total_pad = max(stride * (dout - 1) + 3 - d, 0)
+    plo = total_pad // 2
+    w2 = jnp.zeros((span, kh, kw, cin, db, cout), w.dtype)
+    for z in range(db):
+        w2 = w2.at[stride * z:stride * z + 3, :, :, :, z, :].set(w)
+    w2 = w2.reshape(span, kh, kw, cin, db * cout)
+    def same_pad(size, k):
+        out = -(-size // stride)
+        total = max((out - 1) * stride + k - size, 0)
+        return (total // 2, total - total // 2)
+
+    y = lax.conv_general_dilated(
+        x, w2, window_strides=(stride * db, stride, stride),
+        padding=((plo, total_pad - plo), same_pad(h, kh), same_pad(wd, kw)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    ho, wo = y.shape[2], y.shape[3]
+    y = y.reshape(n, nchunk, ho, wo, db, cout)
+    return jnp.moveaxis(y, 4, 2).reshape(n, dout, ho, wo, cout)
+
+
 def conv3d_tapmat(x, w, stride=1):
     """Small-C_out path: ONE matmul with the 27 taps unfolded into lanes
     (27*C_out output channels), then a shifted-add tap reduction.  FLOPs =
@@ -197,6 +233,7 @@ def main():
         for name, fn in (("chunked", conv3d_chunked),
                          ("shiftadd", conv3d_shiftadd),
                          ("dstack", conv3d_dstack),
+                         ("bandwin", conv3d_bandwin),
                          ("tapmat", conv3d_tapmat)):
             if name == "tapmat" and stride != 1:
                 continue
@@ -205,7 +242,7 @@ def main():
             print(f"correctness {name} s{stride}: maxerr {err:.2e} {status}")
 
     print(f"\n{'shape':20s} {'native':>9s} {'chunked':>9s} {'shiftadd':>9s} "
-          f"{'dstack':>9s} {'tapmat':>9s}")
+          f"{'dstack':>9s} {'bandwin':>9s} {'tapmat':>9s}")
     for name, d, h, w, cin, cout, stride in SHAPES:
         x = jax.device_put(jnp.asarray(
             rng.standard_normal((1, d, h, w, cin)), dtype))
@@ -220,12 +257,15 @@ def main():
             "s", lambda a, b, s=stride: conv3d_shiftadd(a, b, s), (x, wt))
         times["dstack"] = _bench(
             "d", lambda a, b, s=stride: conv3d_dstack(a, b, s), (x, wt))
+        times["bandwin"] = _bench(
+            "b", lambda a, b, s=stride: conv3d_bandwin(a, b, s), (x, wt))
         if stride == 1 and 27 * cout <= 128:
             times["tapmat"] = _bench(
                 "t", lambda a, b, s=stride: conv3d_tapmat(a, b, s), (x, wt))
         cells = " ".join(
             f"{times[k] * 1e3:7.2f}ms" if k in times else f"{'—':>9s}"
-            for k in ("native", "chunked", "shiftadd", "dstack", "tapmat"))
+            for k in ("native", "chunked", "shiftadd", "dstack", "bandwin",
+                      "tapmat"))
         best = min(times, key=times.get)
         print(f"{name:20s} {cells}   best {times[best] / times['native']:4.2f}"
               f"x-of-native ({best})")
