@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.shift_stack import weighted_shift_sum
-from .layers import nchw_to_nhwc
+from .layers import Deconv2dParityMXU, nchw_to_nhwc
 
 NUM_DISPARITY_CHANNELS = 65
 
@@ -69,10 +69,10 @@ class DeconvBranch(nn.Module):
         x = nn.relu(x)
         if self.scale == 1:
             return nn.Conv(NUM_DISPARITY_CHANNELS, (1, 1))(x)
-        k = 2 * self.scale
-        return nn.ConvTranspose(NUM_DISPARITY_CHANNELS, (k, k),
-                                strides=(self.scale, self.scale),
-                                padding="SAME")(x)
+        # parity-class deconv: skips the input-dilated lowering's
+        # structural-zero MACs ((2s)^2 taps of which only 4 are live)
+        return Deconv2dParityMXU(NUM_DISPARITY_CHANNELS, self.scale,
+                                 name="ConvTranspose_0")(x)
 
 
 class FeedForwardBranch(nn.Module):
@@ -95,8 +95,8 @@ class FeedForwardBranch(nn.Module):
         x = nn.Dense(gh * gw * NUM_DISPARITY_CHANNELS,
                      kernel_init=nn.initializers.normal(0.01))(x)
         x = x.reshape(n, gh, gw, NUM_DISPARITY_CHANNELS)
-        return nn.ConvTranspose(NUM_DISPARITY_CHANNELS, (32, 32),
-                                strides=(16, 16), padding="SAME")(x)
+        return Deconv2dParityMXU(NUM_DISPARITY_CHANNELS, 16,
+                                 name="ConvTranspose_0")(x)
 
 
 class DisparityUpconvSoftmax(nn.Module):
@@ -105,8 +105,8 @@ class DisparityUpconvSoftmax(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.ConvTranspose(NUM_DISPARITY_CHANNELS, (4, 4), strides=(2, 2),
-                             padding="SAME")(x)
+        x = Deconv2dParityMXU(NUM_DISPARITY_CHANNELS, 2,
+                              name="ConvTranspose_0")(x)
         x = nn.relu(x)
         x = nn.Conv(NUM_DISPARITY_CHANNELS, (3, 3), padding="SAME",
                     kernel_init=nn.initializers.he_normal())(x)

@@ -214,6 +214,35 @@ class Deconv3dParityMXU(nn.Module):
         return deconv3d_parity(x.astype(dtype), w.astype(dtype))
 
 
+class Deconv2dParityMXU(nn.Module):
+    """Drop-in for a SAME (2s,2s)/stride-s ``nn.ConvTranspose`` over NHWC
+    maps that routes through
+    :func:`stereo_tpu.ops.conv3d.deconv2d_parity` — one (2,2) conv with
+    ``s*s*c_out`` output lanes plus a pixel-shuffle interleave, skipping
+    the (2s)^2/4 structural-zero MACs of the input-dilated lowering.
+    Parameter names/shapes match ``nn.ConvTranspose``; instantiate as
+    ``ConvTranspose_0`` (or the original name) to keep checkpoints
+    loading unchanged."""
+
+    features: int
+    scale: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv3d import deconv2d_parity
+
+        k = 2 * self.scale
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, x.shape[-1], self.features))
+        dtype = jnp.promote_types(x.dtype, w.dtype)
+        out = deconv2d_parity(x.astype(dtype), w.astype(dtype), self.scale)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + b.astype(dtype)
+        return out
+
+
 class DeconvBn(nn.Module):
     """Transposed conv (x2 upsampling) + BN, 2-D or 3-D by kernel rank."""
 
@@ -226,6 +255,11 @@ class DeconvBn(nn.Module):
         if tuple(self.kernel) == (4, 4, 4) and tuple(self.strides) == (2, 2, 2):
             # 3-D x2 deconv on the MXU-packed path (same params)
             x = Deconv3dParityMXU(self.features,
+                                  name="ConvTranspose_0")(x)
+        elif (len(self.kernel) == 2 and len(set(self.strides)) == 1
+                and self.kernel[0] == self.kernel[1] == 2 * self.strides[0]):
+            x = Deconv2dParityMXU(self.features, self.strides[0],
+                                  use_bias=False,
                                   name="ConvTranspose_0")(x)
         else:
             x = nn.ConvTranspose(self.features, tuple(self.kernel),

@@ -137,6 +137,44 @@ def deconv3d_parity(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(n, 2 * d, 2 * h, 2 * wd, cout)
 
 
+def deconv2d_parity(x: jnp.ndarray, w: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Exact (2s,2s)/stride-s SAME transposed conv (flax ``ConvTranspose``
+    semantics) via ONE (2,2) conv with ``s*s*c_out`` output channels plus a
+    pixel-shuffle interleave.
+
+    Derivation (probed against ``lax.conv_transpose`` SAME): output
+    ``o = s*j + p`` sums ``x[j - 1 + off_p + t] * w[k-1-s//2-p + s*(off_p
+    + t - 1)]`` for taps ``t in {0,1}``, with ``off_p = (p >= s//2)`` —
+    i.e. every output parity class touches exactly 2 taps per axis, so the
+    naive input-dilated conv wastes a factor ``(s*s)/... = (2s)^2/4`` of
+    its MACs on structural zeros.  Used for Deep3D's x2..x16 upsampling
+    branches (``deep3d.py:11-46,85-117``) and MSNet2D's hourglass.
+    """
+    import numpy as np
+
+    n, h, wd, cin = x.shape
+    kh, kw, _, cout = w.shape
+    if kh != 2 * s or kw != 2 * s:
+        raise ValueError(f"deconv2d_parity needs a (2s,2s) kernel, got "
+                         f"{(kh, kw)} for stride {s}")
+    off = np.array([1 if p >= s // 2 else 0 for p in range(s)])
+    midx = np.array([[2 * s - 1 - s // 2 - p + s * (off[p] + t - 1)
+                      for t in (0, 1)] for p in range(s)])   # (s, 2)
+    wp = w[midx[:, :, None, None], midx[None, None, :, :]]
+    # (p_y, t_y, p_x, t_x, ci, co) -> (t_y, t_x, ci, p_y, p_x, co)
+    wp = wp.transpose(1, 3, 4, 0, 2, 5).reshape(2, 2, cin, s * s * cout)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = lax.conv_general_dilated(
+        xp, wp, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (n, h+1, w+1, s*s*co)
+    y = y.reshape(n, h + 1, wd + 1, s, s, cout)
+    out = jnp.stack([y[:, off[py]:off[py] + h, off[px]:off[px] + wd, py, px]
+                     for py in range(s) for px in range(s)], axis=-2)
+    out = out.reshape(n, h, wd, s, s, cout)
+    out = out.transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(n, s * h, s * wd, cout)
+
+
 def conv3d_mxu(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
     """Measured-best dispatch for NDHWC (kd,kh,kw) SAME convs (see module
     docstring).  Falls back to the native conv whenever the reformulations

@@ -63,6 +63,46 @@ class TestConv3dVariants:
                                    atol=ATOL)
 
 
+class TestDeconv2dParity:
+    @pytest.mark.parametrize("scale", [2, 4, 8, 16])
+    def test_matches_flax_conv_transpose(self, scale):
+        import flax.linen as nn
+        from stereo_tpu.ops.conv3d import deconv2d_parity
+
+        rng = np.random.default_rng(scale)
+        x = jnp.asarray(rng.standard_normal((2, 5, 7, 4)), jnp.float32)
+        mod = nn.ConvTranspose(6, (2 * scale, 2 * scale),
+                               strides=(scale, scale), padding="SAME",
+                               use_bias=False)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        ref = mod.apply(variables, x)
+        out = deconv2d_parity(x, variables["params"]["kernel"], scale)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_module_matches_conv_transpose_with_bias(self):
+        import flax.linen as nn
+        from stereo_tpu.models.layers import Deconv2dParityMXU
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((1, 6, 8, 3)), jnp.float32)
+        ref_mod = nn.ConvTranspose(5, (8, 8), strides=(4, 4),
+                                   padding="SAME")
+        variables = ref_mod.init(jax.random.PRNGKey(1), x)
+        ref = ref_mod.apply(variables, x)
+        out = Deconv2dParityMXU(5, 4).apply(variables, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_rejects_mismatched_kernel(self):
+        from stereo_tpu.ops.conv3d import deconv2d_parity
+
+        with pytest.raises(ValueError, match="2s"):
+            deconv2d_parity(jnp.zeros((1, 4, 4, 2)),
+                            jnp.zeros((3, 3, 2, 2)), 2)
+
+
 class TestDeconv3dParity:
     def test_matches_flax_conv_transpose(self):
         import flax.linen as nn
