@@ -17,6 +17,16 @@ Dispatch (``conv3d_mxu``):
   128`` at ``(db + 2) / 3`` x FLOPs (stride 1).
 * otherwise native (measured parity at 128 channels).
 
+Alternatives explored and rejected on v5e measurements (sweeps preserved
+in ``scripts/microbench_conv3d.py``): ``dstack`` (kd folded into input
+channels — loses everywhere), ``tapmat`` (27-tap lane unfold + shift
+reduce — close second at c_out=1), ``bandwin`` (banding expressed as a
+span-6/stride-4 conv window — XLA lowers it poorly), and a hand-written
+Pallas kernel running the banded matmul from VMEM-staged windows
+(compiled, bit-matched, but 0.4-0.96x of ``chunked``: Mosaic relayout +
+the same banding overhead).  Transposed convs are a different story —
+see ``deconv3d_parity`` / ``deconv2d_parity`` below, which win large.
+
 The reference's 3-D aggregation lives inside opaque TorchScript traces
 (``dnn_stereo_matching_backend.py:9-13``); this module is the TPU-side
 answer to the CUDA kernels those traces call.
