@@ -146,6 +146,8 @@ class TestSyntheticTrainer:
         right-frame GT)."""
         from stereo_tpu.train.synthetic import SyntheticDeep3DTrainer
 
+        # 128x256 is Deep3D's minimum shape (the 1/4-res input must
+        # survive the five VGG poolings with nonzero dims)
         tr = SyntheticDeep3DTrainer(height=128, width=256, batch_size=1,
                                     chunk=1, disparity_loss_weight=0.02,
                                     ce_loss_weight=0.05,
