@@ -137,6 +137,38 @@ def load_npz_meta(npz_path: str) -> dict:
             for key in data.files if key.startswith(_NPZ_META_PREFIX)}
 
 
+def _validate_checkpoint_shapes(model, variables, source: str):
+    """Fail fast with an actionable message when a checkpoint's parameter
+    shapes don't fit this model configuration (e.g. a volume-folding
+    network like MSNet2D restored at a different ``max_disparity`` than it
+    was trained with) — otherwise flax raises an opaque ScopeParamShapeError
+    deep inside the first apply."""
+    width = max(128, -(-int(getattr(model, "max_disparity", 64)) // 32) * 32)
+    x = jax.ShapeDtypeStruct((1, 3, 64, width), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    expected = jax.eval_shape(
+        lambda a, b: model.init({"params": key, "dropout": key}, a, b,
+                                train=True), x, x)
+    def as_key(path):
+        return "/".join(str(getattr(k, "key", k)) for k in path)
+
+    exp = {as_key(p): v.shape for p, v in
+           jax.tree_util.tree_flatten_with_path(expected)[0]}
+    got = {as_key(p): jnp.shape(v) for p, v in
+           jax.tree_util.tree_flatten_with_path(variables)[0]}
+    for path in sorted(set(exp) & set(got)):
+        if exp[path] != got[path]:
+            pretty = path
+            raise ValueError(
+                f"Checkpoint {source!r} does not fit this "
+                f"{type(model).__name__}(max_disparity="
+                f"{getattr(model, 'max_disparity', '?')}): parameter "
+                f"{pretty} has shape {got[path]}, expected {exp[path]}. "
+                f"Load it with the max_disparity it was trained with, or "
+                f"pass params/checkpoint_dir explicitly.")
+    return variables
+
+
 def load_or_init_params(model, name: str, image_shape: Tuple[int, int],
                         checkpoint_dir: Optional[str] = None, seed: int = 0):
     """Restore trained parameters if a checkpoint exists, else initialize.
@@ -152,12 +184,15 @@ def load_or_init_params(model, name: str, image_shape: Tuple[int, int],
         if not cand:
             continue
         if os.path.isfile(cand) and cand.endswith(".npz"):
-            return load_params_npz(cand)
+            return _validate_checkpoint_shapes(model, load_params_npz(cand),
+                                               cand)
         npz = cand + ".npz"
         if os.path.isfile(npz):
-            return load_params_npz(npz)
+            return _validate_checkpoint_shapes(model, load_params_npz(npz),
+                                               npz)
         if os.path.isdir(cand) and os.listdir(cand):
-            return load_params(cand)
+            return _validate_checkpoint_shapes(model, load_params(cand),
+                                               cand)
     return init_stereo_params(model, image_shape, seed)
 
 

@@ -196,3 +196,18 @@ class TestNpzCheckpoints:
         a = jax.tree_util.tree_leaves(restored)[0]
         b = jax.tree_util.tree_leaves(back)[0]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_mismatched_max_disparity_fails_fast(self, tmp_path):
+        """A volume-folding net restored at a different max_disparity must
+        raise an actionable error, not an opaque flax shape error at the
+        first apply."""
+        import pytest
+        from stereo_tpu.models import init_stereo_params, save_params_npz
+
+        model = build_stereo_model("msnet2d", max_disparity=16)
+        path = str(tmp_path / "msnet2d.npz")
+        save_params_npz(init_stereo_params(model, (32, 64), seed=3), path)
+        other = build_stereo_model("msnet2d", max_disparity=32)
+        with pytest.raises(ValueError, match="max_disparity"):
+            load_or_init_params(other, "msnet2d", (32, 64),
+                                checkpoint_dir=path)
