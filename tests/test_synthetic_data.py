@@ -131,6 +131,9 @@ class TestSyntheticCamera:
 
 
 class TestSyntheticTrainer:
+    @pytest.mark.slow  # heaviest CPU compile in the suite (~90 s); the
+    # chunked-scan trainer loop is also exercised (cheaper) by
+    # test_deep3d_disparity_supervision_step below
     def test_msnet2d_steps_run_and_loss_finite(self):
         tr = SyntheticStereoTrainer("msnet2d", max_disparity=8, height=32,
                                     width=64, batch_size=1, total_steps=4,
