@@ -76,6 +76,9 @@ def _timed_fps(fn, left, right, batch, repeats, m_small=4, m_large=16):
 
     ``fn`` must be a jit-traceable callable over already-placed arrays
     (the engine's jitted graph is fine — it inlines under the outer jit).
+    ``m_small``/``m_large`` are per-call trip counts; callers scale them so
+    ``m_large * batch`` covers enough frames (>=64 at the headline config's
+    ~1.5 ms/frame) that the marginal slope is noise-free.
     """
     import jax.numpy as jnp
     from jax import lax
@@ -107,12 +110,25 @@ def _timed_fps(fn, left, right, batch, repeats, m_small=4, m_large=16):
     return batch / slope
 
 
+_PRESETS = {
+    # The headline config: identical radii to bench.py's KITTI metric (the
+    # MatchingConfig defaults), so the scaling record's absolute FPS is
+    # directly comparable to BENCH_r*.json.
+    "headline": dict(cost_patch_radius=1, sad_patch_radius=5,
+                     small_mbm_radius=1, mid_mbm_radius=4,
+                     large_mbm_radius=10),
+    # Light radii for virtual-CPU mesh runs (full radii are impractically
+    # slow off-TPU; mesh mode measures collective overhead shape only).
+    "light": dict(cost_patch_radius=1, sad_patch_radius=2,
+                  small_mbm_radius=1, mid_mbm_radius=1, large_mbm_radius=2),
+}
+
+
 def _make_config(args):
     return MatchingConfig(
         height=args.height, width=args.width, downscale_factor=2,
-        min_disparity=0, max_disparity=args.max_disparity,
-        cost_patch_radius=1, sad_patch_radius=2, threshold=5,
-        small_mbm_radius=1, mid_mbm_radius=1, large_mbm_radius=2)
+        min_disparity=0, max_disparity=args.max_disparity, threshold=5,
+        **_PRESETS[args.preset])
 
 
 def run_mesh_mode(args) -> dict:
@@ -159,7 +175,9 @@ def run_batch_mode(args) -> dict:
                                      args.width)).astype(np.float32)
         right = np.roll(left, -4, axis=-1)
         fps = _timed_fps(engine._batched, jnp.asarray(left),
-                         jnp.asarray(right), batch, args.repeats)
+                         jnp.asarray(right), batch, args.repeats,
+                         m_small=max(2, 16 // batch),
+                         m_large=max(8, 64 // batch))
         if base_fps is None:
             base_fps = fps
         results[str(batch)] = {"fps": round(fps, 2),
@@ -179,6 +197,13 @@ def main() -> None:
     parser.add_argument("--height", type=int, default=128)
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--max-disparity", type=int, default=15)
+    parser.add_argument("--preset", choices=sorted(_PRESETS),
+                        default=("headline"
+                                 if jax.default_backend() == "tpu"
+                                 else "light"),
+                        help="matching radii: 'headline' = bench.py's KITTI "
+                             "config (default on TPU), 'light' = small radii "
+                             "for virtual-CPU mesh runs")
     parser.add_argument("--frames", type=int, default=16)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--output-dir", default="results/scaling")
@@ -188,7 +213,8 @@ def main() -> None:
             "n_devices": len(jax.devices()),
             "virtual_devices": jax.default_backend() != "tpu",
             "config": {"height": args.height, "width": args.width,
-                       "max_disparity": args.max_disparity}}
+                       "max_disparity": args.max_disparity,
+                       "preset": args.preset, **_PRESETS[args.preset]}}
     if args.mode == "mesh":
         meta["results"] = run_mesh_mode(args)
         if meta["virtual_devices"]:
