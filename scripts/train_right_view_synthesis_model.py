@@ -26,12 +26,19 @@ def train_synthetic(args) -> None:
 
     from stereo_tpu.train import SyntheticDeep3DTrainer
 
+    init_variables = None
+    if args.warm_start:
+        from stereo_tpu.models import load_params_npz
+
+        init_variables = load_params_npz(args.warm_start)
+        print(f"Warm-starting from {args.warm_start}")
     trainer = SyntheticDeep3DTrainer(
         height=args.crop[0], width=args.crop[1],
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         chunk=args.chunk, disparity_loss_weight=args.disparity_loss_weight,
         ce_loss_weight=args.ce_loss_weight,
-        schedule_steps=(args.steps if args.cosine_schedule else 0))
+        schedule_steps=(args.steps if args.cosine_schedule else 0),
+        init_variables=init_variables)
     losses = trainer.train(args.steps)
     out = args.export_dir
     if not out.endswith(".npz"):
@@ -71,6 +78,11 @@ def main() -> None:
     parser.add_argument("--cosine-schedule", action="store_true",
                         help="synthetic mode: warmup-cosine LR decay over "
                              "--steps instead of a constant learning rate")
+    parser.add_argument("--warm-start", default=None,
+                        help="synthetic mode: .npz checkpoint whose "
+                             "matching-shape leaves seed the new model "
+                             "(cross-resolution transfer; the resolution-"
+                             "tied FF dense layer re-initializes)")
     parser.add_argument("--checkpoint", default="data/checkpoints/deep3d_train")
     parser.add_argument("--export-dir", default=DEEP3D_CHECKPOINT_DIR)
     parser.add_argument("--resume", action="store_true")

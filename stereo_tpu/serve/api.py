@@ -6,11 +6,12 @@ the pipeline's configured shape, runs the full single-view pipeline
 (right-view synthesis + stereo matching), and streams the disparity map
 back as a PNG (``api.py:25-31``).
 
-FastAPI isn't in this image, so the default server is a dependency-free
-``http.server`` implementation with the same contract; ``create_fastapi_app``
-returns the FastAPI variant when the package is available.  Either way the
-pipeline underneath is the jitted (optionally mesh-sharded) TPU engine — the
-serving thread only does PNG codec work and host<->device transfer.
+Two deployment surfaces, both dependency-free: a threaded ``http.server``
+(``DepthEstimationServer.serve``) and an ASGI 3 application
+(``create_asgi_app``) for uvicorn-style servers — the deployment story the
+reference gets from FastAPI.  Either way the pipeline underneath is the
+jitted (optionally mesh-sharded) TPU engine — the serving thread only does
+PNG codec work and host<->device transfer.
 """
 
 from __future__ import annotations
@@ -222,18 +223,72 @@ class DepthEstimationServer:
         httpd.serve_forever()
 
 
-def create_fastapi_app(config: PipelineConfig = PipelineConfig()):
-    """FastAPI variant (exact reference parity) when fastapi is installed."""
-    from fastapi import FastAPI, UploadFile
-    from fastapi.responses import StreamingResponse
+def create_asgi_app(config: PipelineConfig = PipelineConfig(),
+                    pipeline: Optional[DepthEstimationPipeline] = None,
+                    micro_batch: int = 1):
+    """Dependency-free ASGI 3 application with the reference's HTTP contract
+    (``api.py:25-31``): ``POST /`` with a PNG (multipart ``file`` field or
+    raw body) -> disparity PNG; ``GET /`` -> config JSON.
 
-    server = DepthEstimationServer(config)
-    app = FastAPI()
+    This replaces the earlier FastAPI shim (fastapi isn't in this image, so
+    that path was untestable dead code): any ASGI server (uvicorn,
+    hypercorn, daphne) can mount this app directly — the deployment story
+    the reference gets from FastAPI+uvicorn (``api.py:34-35``) without the
+    dependency.  Pipeline work is offloaded to a thread so device compute
+    never blocks the event loop.
+    """
+    import asyncio
 
-    @app.post("/")
-    async def run_pipeline(file: UploadFile):
-        png = server.run_pipeline(await file.read())
-        return StreamingResponse(io.BytesIO(png), media_type="image/png")
+    server = DepthEstimationServer(config, pipeline=pipeline,
+                                   micro_batch=micro_batch)
+
+    async def _read_body(receive) -> bytes:
+        chunks = []
+        while True:
+            message = await receive()
+            chunks.append(message.get("body", b""))
+            if not message.get("more_body"):
+                return b"".join(chunks)
+
+    async def _respond(send, status: int, content_type: bytes, body: bytes):
+        await send({"type": "http.response.start", "status": status,
+                    "headers": [(b"content-type", content_type),
+                                (b"content-length",
+                                 str(len(body)).encode())]})
+        await send({"type": "http.response.body", "body": body})
+
+    async def app(scope, receive, send):
+        if scope["type"] != "http":
+            raise RuntimeError(f"unsupported scope type {scope['type']!r}")
+        if scope["method"] == "GET":
+            info = json.dumps({
+                "backend": server.config.stereo_matching_backend,
+                "image_shape": list(server.config.image_shape),
+            }).encode()
+            await _respond(send, 200, b"application/json", info)
+            return
+        if scope["method"] != "POST":
+            await _respond(send, 405, b"application/json",
+                           b'{"error": "POST a PNG to /"}')
+            return
+        try:
+            body = await _read_body(receive)
+            ctype = dict(scope.get("headers") or {}).get(
+                b"content-type", b"").decode()
+            if ctype.startswith("multipart/form-data"):
+                payload = _extract_multipart_file(body, ctype)
+                if payload is None:
+                    raise ValueError("no file field in upload")
+            else:
+                payload = body
+            loop = asyncio.get_running_loop()
+            png = await loop.run_in_executor(None, server.run_pipeline,
+                                             payload)
+        except Exception as exc:  # noqa: BLE001 — report to client
+            msg = json.dumps({"error": str(exc)}).encode()
+            await _respond(send, 400, b"application/json", msg)
+            return
+        await _respond(send, 200, b"image/png", png)
 
     return app
 

@@ -343,7 +343,8 @@ class SyntheticDeep3DTrainer:
                  max_scene_disparity: float = 58.0,
                  disparity_loss_weight: float = 0.0,
                  ce_loss_weight: float = 0.0,
-                 schedule_steps: int = 0):
+                 schedule_steps: int = 0,
+                 init_variables=None):
         import optax
 
         from ..models import Deep3D
@@ -356,6 +357,24 @@ class SyntheticDeep3DTrainer:
         variables = self.model.init({"params": key, "dropout": key}, full,
                                     down, train=True)
         self.params = variables["params"]
+        if init_variables is not None:
+            # Warm start across resolutions: adopt every leaf whose shape
+            # matches (all convs/deconvs — they are resolution-independent);
+            # only the first FF dense layer is tied to the input resolution
+            # (15360 x 4096 at native vs 4096 x 4096 at 256x512) and keeps
+            # its fresh initialization.
+            n_kept = [0]
+
+            def adopt(fresh, old):
+                if old.shape != fresh.shape:
+                    return fresh
+                n_kept[0] += 1
+                return jnp.asarray(old)
+
+            self.params = jax.tree.map(adopt, self.params,
+                                       init_variables["params"])
+            print(f"[deep3d] warm start: adopted {n_kept[0]} matching-shape "
+                  f"leaves", flush=True)
         # schedule_steps > 0: warmup-cosine decay to lr/20 over that horizon
         # (constant-lr runs plateau — the fine geometry never anneals in).
         lr = (optax.warmup_cosine_decay_schedule(

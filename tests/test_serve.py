@@ -193,3 +193,83 @@ class TestMicroBatcher:
             with pytest.raises(RuntimeError, match="engine down"):
                 f.result(timeout=10)
         batcher.shutdown()
+
+
+class TestAsgiApp:
+    """The ASGI 3 surface, driven through the raw scope/receive/send
+    protocol — no ASGI server (or fastapi) needed."""
+
+    class _StubPipeline:
+        def process(self, left, right):
+            from types import SimpleNamespace
+
+            assert right is None                     # single-view contract
+            return SimpleNamespace(disparity_map=left.mean(axis=0))
+
+    def _app(self):
+        from stereo_tpu.serve.api import create_asgi_app
+
+        config = PipelineConfig(image_shape=(16, 32), min_disparity=0,
+                                max_disparity=8, matching=TINY,
+                                stereo_matching_backend="classical")
+        return create_asgi_app(config, pipeline=self._StubPipeline())
+
+    @staticmethod
+    def _call(app, method, body=b"", content_type=None):
+        import asyncio
+
+        headers = ([(b"content-type", content_type.encode())]
+                   if content_type else [])
+        scope = {"type": "http", "method": method, "path": "/",
+                 "headers": headers}
+        messages = [{"type": "http.request", "body": body,
+                     "more_body": False}]
+        sent = []
+
+        async def receive():
+            return messages.pop(0)
+
+        async def send(message):
+            sent.append(message)
+
+        asyncio.run(app(scope, receive, send))
+        status = sent[0]["status"]
+        resp_headers = dict(sent[0]["headers"])
+        payload = b"".join(m.get("body", b"") for m in sent[1:])
+        return status, resp_headers, payload
+
+    def test_get_info(self):
+        status, headers, body = self._call(self._app(), "GET")
+        assert status == 200
+        assert b"classical" in body
+
+    def test_post_raw_png(self):
+        status, headers, body = self._call(self._app(), "POST",
+                                           _png_bytes(16, 32))
+        assert status == 200
+        assert headers[b"content-type"] == b"image/png"
+        out = np.asarray(Image.open(io.BytesIO(body)))
+        assert out.shape == (16, 32)
+
+    def test_post_multipart(self):
+        boundary = "xxASGIxx"
+        payload = _png_bytes(16, 32)
+        body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                f'name="file"; filename="left.png"\r\n'
+                f"Content-Type: image/png\r\n\r\n").encode() + payload + \
+            f"\r\n--{boundary}--\r\n".encode()
+        status, headers, resp = self._call(
+            self._app(), "POST", body,
+            content_type=f"multipart/form-data; boundary={boundary}")
+        assert status == 200
+        out = np.asarray(Image.open(io.BytesIO(resp)))
+        assert out.shape == (16, 32)
+
+    def test_bad_payload_is_400(self):
+        status, headers, body = self._call(self._app(), "POST", b"not a png")
+        assert status == 400
+        assert b"error" in body
+
+    def test_method_not_allowed(self):
+        status, _, _ = self._call(self._app(), "DELETE")
+        assert status == 405
