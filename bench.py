@@ -148,10 +148,23 @@ def _classical_fps(extra: dict):
     return fps
 
 
+_DEMO_DIR = "/root/reference/src/python/data"
+_TPU_GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "golden",
+                           "middlebury_demo_disparity_pallas_tpu.npz")
+
+
 def _middlebury_pallas_fps():
     """Classical engine at the Middlebury 1080p config (disparity 75..262),
     where ``impl='auto'`` selects the Pallas streamed-volume kernels —
-    driver-captured evidence for the Pallas path."""
+    driver-captured evidence for the Pallas path.
+
+    Also the Pallas semantic gate: when the demo pair and the committed
+    TPU-captured golden are available, the REAL demo disparity must match
+    the golden within 0.5 px on >= 99% of pixels (upgrade over the old
+    mean-disparity window; VERDICT r2 #4).  Transfers stay small: images
+    upload as uint8 and the comparison runs on device (one scalar back).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -159,14 +172,40 @@ def _middlebury_pallas_fps():
     from stereo_tpu.matching.classical import compute_disparity_map
 
     cfg = MatchingConfig()   # Middlebury defaults: 1080x1920, 75..262
+
+    golden_frac = None
+    if os.path.isdir(_DEMO_DIR) and os.path.exists(_TPU_GOLDEN):
+        from PIL import Image
+
+        left8 = np.asarray(Image.open(os.path.join(_DEMO_DIR, "im0.png")),
+                           np.uint8).transpose(2, 0, 1)
+        right8 = np.asarray(Image.open(os.path.join(_DEMO_DIR, "im1.png")),
+                            np.uint8).transpose(2, 0, 1)
+        golden = np.load(_TPU_GOLDEN)["disparity"]
+
+        @jax.jit
+        def frac_within(l8, r8, g):
+            disp = compute_disparity_map(l8.astype(jnp.float32),
+                                         r8.astype(jnp.float32), cfg)
+            return jnp.mean((jnp.abs(disp - g.astype(jnp.float32))
+                             <= 0.5).astype(jnp.float32))
+
+        golden_frac = float(frac_within(
+            jax.device_put(left8), jax.device_put(right8),
+            jax.device_put(golden)))
+        assert golden_frac >= 0.99, (
+            f"Pallas demo disparity drifted: only {golden_frac:.4f} of "
+            f"pixels within 0.5px of the committed TPU golden")
+
     rng = np.random.default_rng(1)
     left = np.round(rng.uniform(0, 255, (3, cfg.height, cfg.width))
                     ).astype(np.float32)
     right = np.roll(left, -90, axis=-1)
     ld = jax.device_put(jnp.asarray(left))
     rd = jax.device_put(jnp.asarray(right))
-    return _single_m_fps(lambda l, r: compute_disparity_map(l, r, cfg),
-                         (ld, rd), m=100)
+    fps = _single_m_fps(lambda l, r: compute_disparity_map(l, r, cfg),
+                        (ld, rd), m=100)
+    return fps, golden_frac
 
 
 def _e2e_single_view_fps(compute_dtype: str = "float32"):
@@ -215,8 +254,13 @@ def _dnn_fps(model_name: str, extra: dict, compute_dtype: str = "float32"):
 
     from stereo_tpu.pipeline.backends import DnnStereoMatchingBackend
 
+    # msnet2d's interlaced cost volume folds D into channel dims, so its
+    # committed checkpoint is bound to the D=64 it was trained at (KITTI's
+    # advertised range); gwcnet/msnet3d weights are D-independent and bench
+    # at the standard 192 planes.
+    max_disparity = 64 if model_name == "msnet2d" else 192
     backend = DnnStereoMatchingBackend(model_name, image_shape=(384, 1280),
-                                       max_disparity=192,
+                                       max_disparity=max_disparity,
                                        compute_dtype=compute_dtype)
     rng = np.random.default_rng(0)
     x = jax.device_put(jnp.asarray(
@@ -233,7 +277,10 @@ def _worker(job: str, dtype: str) -> None:
     """Subprocess entry: measure one metric, print one number."""
     _enable_compile_cache()
     if job == "middlebury":
-        print("WORKER_FPS", _middlebury_pallas_fps(), flush=True)
+        fps, golden_frac = _middlebury_pallas_fps()
+        if golden_frac is not None:
+            print("WORKER_GOLDEN_FRAC", golden_frac, flush=True)
+        print("WORKER_FPS", fps, flush=True)
     elif job == "e2e_single_view":
         print("WORKER_FPS", _e2e_single_view_fps(compute_dtype=dtype),
               flush=True)
@@ -259,8 +306,10 @@ def main() -> None:
     jobs = [("middlebury", None, "float32", "middlebury_1080p_pallas_fps"),
             ("gwcnet", 6.0, "float32", "gwcnet_fps"),
             ("msnet3d", 4.0, "float32", "msnet3d_fps"),
+            ("msnet2d", None, "float32", "msnet2d_fps"),
             ("e2e_single_view", 30.0, "float32", "e2e_single_view_fps"),
             ("gwcnet", 6.0, "bfloat16", "gwcnet_bf16_fps"),
+            ("msnet3d", 4.0, "bfloat16", "msnet3d_bf16_fps"),
             ("e2e_single_view", 30.0, "bfloat16", "e2e_single_view_bf16_fps")]
     # Per-job cap: one pathological remote compile must not starve every
     # later metric (the persistent cache usually makes repeats fast, and a
@@ -280,7 +329,10 @@ def main() -> None:
                 capture_output=True, text=True, timeout=remaining,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             for line in proc.stdout.splitlines():
-                if line.startswith("WORKER_FPS"):
+                if line.startswith("WORKER_GOLDEN_FRAC"):
+                    extra["pallas_golden_frac_within_0p5px"] = round(
+                        float(line.split()[1]), 4)
+                elif line.startswith("WORKER_FPS"):
                     fps = float(line.split()[1])
                     extra[key] = round(fps, 2)
                     if baseline is not None and dtype == "float32":

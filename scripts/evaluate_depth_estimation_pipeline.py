@@ -41,6 +41,10 @@ def main() -> None:
                         choices=["off", "on"],
                         help="evaluate with the real right view (off) and/or "
                              "the synthesized one (on)")
+    parser.add_argument("--rvs-checkpoint", default=None,
+                        help="Deep3D .npz for the rvs_on arms (default: the "
+                             "committed weights); used by the probability-"
+                             "volume-resolution ablation")
     parser.add_argument("--output-dir", default="results/evaluation")
     parser.add_argument("--only-one", action="store_true",
                         help="one frame per drive (smoke run)")
@@ -72,7 +76,8 @@ def main() -> None:
             for backend in args.backends:
                 camera = make_camera(drive, rvs)
                 config = extract_config_from_camera(camera).update(
-                    stereo_matching_backend=backend)
+                    stereo_matching_backend=backend,
+                    rvs_checkpoint=args.rvs_checkpoint)
                 pipeline = DepthEstimationPipeline(config)
                 key = f"{drive_key}/rvs_{rvs}/{backend}"
                 print(f"=== {key}")

@@ -38,7 +38,8 @@ def train_synthetic(args) -> None:
         chunk=args.chunk, disparity_loss_weight=args.disparity_loss_weight,
         ce_loss_weight=args.ce_loss_weight,
         schedule_steps=(args.steps if args.cosine_schedule else 0),
-        init_variables=init_variables)
+        init_variables=init_variables,
+        prob_volume_scale=args.prob_volume_scale)
     losses = trainer.train(args.steps)
     out = args.export_dir
     if not out.endswith(".npz"):
@@ -48,10 +49,13 @@ def train_synthetic(args) -> None:
                          "deep3d_synthetic_losses.json")
     with open(curve, "w") as f:
         json.dump({"steps": args.steps,
+                   "crop": args.crop,
                    "disparity_loss_weight": args.disparity_loss_weight,
                    "ce_loss_weight": args.ce_loss_weight,
                    "cosine_schedule": args.cosine_schedule,
                    "batch_size": args.batch_size,
+                   "prob_volume_scale": args.prob_volume_scale,
+                   "warm_start": args.warm_start,
                    "losses": losses}, f)
     print(f"Exported to {out}; loss curve at {curve}")
 
@@ -78,6 +82,11 @@ def main() -> None:
     parser.add_argument("--cosine-schedule", action="store_true",
                         help="synthetic mode: warmup-cosine LR decay over "
                              "--steps instead of a constant learning rate")
+    parser.add_argument("--prob-volume-scale", type=int, default=4,
+                        choices=[2, 4],
+                        help="synthetic mode: bilinear upsample factor of "
+                             "the softmax disparity volume (4 = reference "
+                             "parity; 2 = the higher-res ablation variant)")
     parser.add_argument("--warm-start", default=None,
                         help="synthetic mode: .npz checkpoint whose "
                              "matching-shape leaves seed the new model "

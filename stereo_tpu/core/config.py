@@ -117,6 +117,9 @@ class PipelineConfig:
     # level on the synthesized view).  The classical engine is unaffected
     # (exactness is its contract).
     compute_dtype: str = "float32"
+    # Deep3D checkpoint for right-view synthesis (None = the default
+    # committed weights); its npz meta selects resolution and model variant.
+    rvs_checkpoint: Optional[str] = None
 
     _BACKENDS = ("classical", "cuda", "gwcnet", "msnet2d", "msnet3d")
 

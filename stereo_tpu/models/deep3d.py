@@ -101,13 +101,20 @@ class FeedForwardBranch(nn.Module):
 
 class DisparityUpconvSoftmax(nn.Module):
     """Final head (reference ``deep3d.py:85-99``): deconv x2 -> relu ->
-    conv3x3 -> softmax over the 65 disparity channels."""
+    conv3x3 -> softmax over the 65 disparity channels.
+
+    ``n_upconvs > 1`` (experimental, non-parity) stacks extra x2 deconv
+    stages so the softmax volume is computed at higher resolution — used by
+    the half-res probability-volume ablation (PARITY.md)."""
+
+    n_upconvs: int = 1
 
     @nn.compact
     def __call__(self, x):
-        x = Deconv2dParityMXU(NUM_DISPARITY_CHANNELS, 2,
-                              name="ConvTranspose_0")(x)
-        x = nn.relu(x)
+        for i in range(self.n_upconvs):
+            x = Deconv2dParityMXU(NUM_DISPARITY_CHANNELS, 2,
+                                  name=f"ConvTranspose_{i}")(x)
+            x = nn.relu(x)
         x = nn.Conv(NUM_DISPARITY_CHANNELS, (3, 3), padding="SAME",
                     kernel_init=nn.initializers.he_normal())(x)
         return nn.softmax(x, axis=-1)
@@ -115,12 +122,21 @@ class DisparityUpconvSoftmax(nn.Module):
 
 class DisparityEstimationNetwork(nn.Module):
     """Downscaled left view -> (N, 65, H*, W*) disparity probabilities at
-    4x the downscaled resolution (reference ``deep3d.py:120-159``)."""
+    4x the downscaled resolution (reference ``deep3d.py:120-159``).
+
+    ``prob_volume_scale`` is the bilinear upsample factor applied to the
+    softmax volume: 4 (reference parity — the volume is computed at 1/4 of
+    the FULL input resolution and resized x4, ``deep3d.py:155``) or 2
+    (ablation: one extra learned x2 deconv stage computes the volume at 1/2
+    full resolution, halving the resize factor)."""
 
     deconv_filters: Sequence[int] = (64, 128, 256, 512, 512)
+    prob_volume_scale: int = 4
 
     @nn.compact
     def __call__(self, left_down_nhwc, train: bool = False):
+        if self.prob_volume_scale not in (2, 4):
+            raise ValueError("prob_volume_scale must be 2 or 4")
         predictions = []
         features = left_down_nhwc
         scale = 1
@@ -134,9 +150,11 @@ class DisparityEstimationNetwork(nn.Module):
         predictions.append(FeedForwardBranch(
             grid=(features.shape[1], features.shape[2]))(features, train))
         summed = sum(predictions)
-        prob = DisparityUpconvSoftmax()(summed)     # (N, H/2*2, W/2*2, 65)
+        n_upconvs = 1 + (self.prob_volume_scale == 2)
+        prob = DisparityUpconvSoftmax(n_upconvs)(summed)
         n, h, w, c = prob.shape
-        prob = jax.image.resize(prob, (n, 4 * h, 4 * w, c), method="bilinear")
+        s = self.prob_volume_scale
+        prob = jax.image.resize(prob, (n, s * h, s * w, c), method="bilinear")
         return prob
 
 
@@ -151,10 +169,12 @@ class Deep3D(nn.Module):
     checkpoints use it)."""
 
     deconv_filters: Sequence[int] = (64, 128, 256, 512, 512)
+    prob_volume_scale: int = 4
 
     def setup(self):
         self.disparity_network = DisparityEstimationNetwork(
-            self.deconv_filters, name="DisparityEstimationNetwork_0")
+            self.deconv_filters, self.prob_volume_scale,
+            name="DisparityEstimationNetwork_0")
 
     def __call__(self, left_full_nchw, left_down_nchw, train: bool = False):
         return self.synthesize_with_probabilities(

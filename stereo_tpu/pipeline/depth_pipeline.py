@@ -121,5 +121,6 @@ class DepthEstimationPipeline:
             from ..synthesis import RightViewSynthesis
             self._right_view_synthesis = RightViewSynthesis(
                 output_shape=self._config.image_shape,
-                compute_dtype=self._config.compute_dtype)
+                compute_dtype=self._config.compute_dtype,
+                checkpoint_dir=self._config.rvs_checkpoint)
         return self._right_view_synthesis

@@ -74,18 +74,17 @@ class RightViewSynthesis:
                  model_full_shape: Tuple[int, int] = RVS_FULL_SHAPE,
                  model_down_shape: Tuple[int, int] = RVS_DOWNSCALED_SHAPE,
                  compute_dtype: str = "float32"):
-        self.model = Deep3D()
         self.output_shape = tuple(output_shape)
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.model_full_shape = tuple(model_full_shape)
         self.model_down_shape = tuple(model_down_shape)
         self._ckpt_meta: dict = {}
         if variables is None:
-            variables = self._load_or_init(checkpoint_dir)
-        self.variables = variables
-        # Deep3D's FF block ties parameters to a training resolution; a
-        # checkpoint that records its native shapes overrides the defaults
-        # (any camera size still works — the wrapper resizes in and out).
+            variables = self._load_checkpoint(checkpoint_dir)
+        # Deep3D's FF block ties parameters to a training resolution, and
+        # the ablation variant adds an upconv stage; a checkpoint recording
+        # its native shapes / variant overrides the defaults (any camera
+        # size still works — the wrapper resizes in and out).
         if self._ckpt_meta:
             if "full_shape" in self._ckpt_meta:
                 self.model_full_shape = tuple(
@@ -93,6 +92,16 @@ class RightViewSynthesis:
             if "down_shape" in self._ckpt_meta:
                 self.model_down_shape = tuple(
                     int(v) for v in self._ckpt_meta["down_shape"])
+        self.model = Deep3D(prob_volume_scale=int(
+            self._ckpt_meta.get("prob_volume_scale", 4)))
+        if variables is None:
+            # Fresh (untrained) parameters — valid for shape/perf tests; the
+            # trainer produces real ones (``stereo_tpu/train``).
+            down = jnp.zeros((1, 3, *self.model_down_shape), jnp.float32)
+            full = jnp.zeros((1, 3, *self.model_full_shape), jnp.float32)
+            variables = self.model.init(jax.random.PRNGKey(0), full, down,
+                                        train=False)
+        self.variables = variables
         self._fn = jax.jit(functools.partial(
             synthesize_batch, self.model, output_shape=self.output_shape,
             full_shape=self.model_full_shape,
@@ -113,7 +122,8 @@ class RightViewSynthesis:
         x = jnp.zeros((1, 3, 64, 64), jnp.float32)
         jax.block_until_ready(self._fn(self.variables, x))
 
-    def _load_or_init(self, checkpoint_dir: Optional[str]):
+    def _load_checkpoint(self, checkpoint_dir: Optional[str]):
+        """Restore trained variables (npz or Orbax) or return None."""
         from ..models import load_npz_meta, load_params, load_params_npz
 
         self._ckpt_meta: dict = {}
@@ -127,11 +137,7 @@ class RightViewSynthesis:
                 return load_params_npz(npz)
             if os.path.isdir(cand) and os.listdir(cand):
                 return load_params(cand)
-        # Fresh (untrained) parameters — valid for shape/perf tests; the
-        # trainer produces real ones (``stereo_tpu/train``).
-        down = jnp.zeros((1, 3, *self.model_down_shape), jnp.float32)
-        full = jnp.zeros((1, 3, *self.model_full_shape), jnp.float32)
-        return self.model.init(jax.random.PRNGKey(0), full, down, train=False)
+        return None
 
 
 def _main() -> None:

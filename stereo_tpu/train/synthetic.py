@@ -344,12 +344,14 @@ class SyntheticDeep3DTrainer:
                  disparity_loss_weight: float = 0.0,
                  ce_loss_weight: float = 0.0,
                  schedule_steps: int = 0,
-                 init_variables=None):
+                 init_variables=None,
+                 prob_volume_scale: int = 4):
         import optax
 
         from ..models import Deep3D
 
-        self.model = Deep3D()
+        self.model = Deep3D(prob_volume_scale=prob_volume_scale)
+        self.prob_volume_scale = prob_volume_scale
         self.height, self.width = height, width
         key = jax.random.PRNGKey(seed)
         full = jnp.zeros((1, 3, height, width), jnp.float32)
@@ -358,21 +360,25 @@ class SyntheticDeep3DTrainer:
                                     down, train=True)
         self.params = variables["params"]
         if init_variables is not None:
-            # Warm start across resolutions: adopt every leaf whose shape
-            # matches (all convs/deconvs — they are resolution-independent);
-            # only the first FF dense layer is tied to the input resolution
-            # (15360 x 4096 at native vs 4096 x 4096 at 256x512) and keeps
-            # its fresh initialization.
+            # Warm start across resolutions/variants: adopt every leaf whose
+            # key path exists in the donor with a matching shape (all
+            # convs/deconvs — resolution-independent).  Fresh init is kept
+            # for the resolution-tied first FF dense layer (15360 x 4096 at
+            # native vs 4096 x 4096 at 256x512) and for layers the donor
+            # lacks (e.g. the ablation variant's extra upconv stage).
+            donor = {jax.tree_util.keystr(p): leaf for p, leaf in
+                     jax.tree_util.tree_flatten_with_path(
+                         init_variables["params"])[0]}
             n_kept = [0]
 
-            def adopt(fresh, old):
-                if old.shape != fresh.shape:
+            def adopt(path, fresh):
+                old = donor.get(jax.tree_util.keystr(path))
+                if old is None or old.shape != fresh.shape:
                     return fresh
                 n_kept[0] += 1
                 return jnp.asarray(old)
 
-            self.params = jax.tree.map(adopt, self.params,
-                                       init_variables["params"])
+            self.params = jax.tree_util.tree_map_with_path(adopt, self.params)
             print(f"[deep3d] warm start: adopted {n_kept[0]} matching-shape "
                   f"leaves", flush=True)
         # schedule_steps > 0: warmup-cosine decay to lr/20 over that horizon
@@ -489,7 +495,8 @@ class SyntheticDeep3DTrainer:
             # resolution; record it so the RVS wrapper can adopt it.
             save_params_npz(variables, checkpoint_path, meta={
                 "full_shape": [self.height, self.width],
-                "down_shape": [self.height // 4, self.width // 4]})
+                "down_shape": [self.height // 4, self.width // 4],
+                "prob_volume_scale": self.prob_volume_scale})
         else:
             save_params(variables, checkpoint_path)
 

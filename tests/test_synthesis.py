@@ -50,3 +50,32 @@ class TestRightViewSynthesis:
         diff = np.abs(outs["bfloat16"] - outs["float32"])
         assert outs["bfloat16"].dtype == np.float32
         assert float(diff.mean()) < 2.0 and float(diff.max()) <= 16.0
+
+    def test_prob_volume_scale_variant_roundtrip(self, tmp_path):
+        """The half-res probability-volume ablation variant (an extra
+        learned x2 upconv, resize x2 instead of x4): its npz meta must
+        rebuild the right model through the wrapper, and the volume must
+        come out at full input resolution in both variants."""
+        import jax
+
+        from stereo_tpu.models import Deep3D, save_params_npz
+
+        full = np.zeros((1, 3, 128, 256), np.float32)
+        down = np.zeros((1, 3, 32, 64), np.float32)
+        for scale in (4, 2):
+            model = Deep3D(prob_volume_scale=scale)
+            variables = model.init(jax.random.PRNGKey(0), full, down,
+                                   train=False)
+            prob = model.apply(variables, down,
+                               method=Deep3D.disparity_probabilities)
+            assert prob.shape == (1, 65, 128, 256)   # full res either way
+            path = tmp_path / f"deep3d_s{scale}.npz"
+            save_params_npz(variables, str(path), meta={
+                "full_shape": [128, 256], "down_shape": [32, 64],
+                "prob_volume_scale": scale})
+            rvs = RightViewSynthesis(output_shape=(48, 96),
+                                     checkpoint_dir=str(path))
+            assert rvs.model.prob_volume_scale == scale
+            assert rvs.model_full_shape == (128, 256)
+            out = np.asarray(rvs.process(np.zeros((3, 48, 96), np.float32)))
+            assert out.shape == (3, 48, 96)
