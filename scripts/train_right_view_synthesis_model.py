@@ -40,11 +40,22 @@ def train_synthetic(args) -> None:
         schedule_steps=(args.steps if args.cosine_schedule else 0),
         init_variables=init_variables,
         prob_volume_scale=args.prob_volume_scale)
-    losses = trainer.train(args.steps)
     out = args.export_dir
     if not out.endswith(".npz"):
         out = out + ".npz"
-    trainer.export(out)
+    # Segmented training with periodic export: a hung tunnel RPC (observed
+    # mid-run) or a preempted job then costs at most one segment, and the
+    # run can resume via --warm-start from the last export.  Fetch+compress
+    # of the full parameter tree is ~45 s — noise against a segment.
+    losses = []
+    remaining = args.steps
+    while remaining > 0:
+        seg = min(args.export_every, remaining)
+        losses.extend(trainer.train(seg))
+        remaining -= seg
+        trainer.export(out)
+        print(f"checkpointed at step {trainer.step_count} -> {out}",
+              flush=True)
     curve = os.path.join(os.path.dirname(os.path.abspath(out)),
                          "deep3d_synthetic_losses.json")
     with open(curve, "w") as f:
@@ -82,6 +93,9 @@ def main() -> None:
     parser.add_argument("--cosine-schedule", action="store_true",
                         help="synthetic mode: warmup-cosine LR decay over "
                              "--steps instead of a constant learning rate")
+    parser.add_argument("--export-every", type=int, default=5000,
+                        help="synthetic mode: export the checkpoint every N "
+                             "steps (stall/preemption insurance)")
     parser.add_argument("--prob-volume-scale", type=int, default=4,
                         choices=[2, 4],
                         help="synthetic mode: bilinear upsample factor of "
