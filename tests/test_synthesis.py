@@ -1,13 +1,29 @@
 """Right-view-synthesis wrapper tests (small model resolution on CPU)."""
 
 import numpy as np
+import pytest
 
 from stereo_tpu.synthesis import RightViewSynthesis
 
 
+@pytest.fixture(scope="module")
+def small_variables():
+    """Fresh small-model variables: passing them explicitly keeps these
+    wrapper tests independent of the committed full-size checkpoint (whose
+    npz meta would otherwise override the small model shapes)."""
+    import jax
+
+    from stereo_tpu.models import Deep3D
+
+    full = np.zeros((1, 3, 128, 256), np.float32)
+    down = np.zeros((1, 3, 32, 64), np.float32)
+    return Deep3D().init(jax.random.PRNGKey(0), full, down, train=False)
+
+
 class TestRightViewSynthesis:
-    def test_process_shapes_and_range(self):
+    def test_process_shapes_and_range(self, small_variables):
         rvs = RightViewSynthesis(output_shape=(48, 96),
+                                 variables=small_variables,
                                  model_full_shape=(128, 256),
                                  model_down_shape=(32, 64))
         left = np.random.default_rng(0).integers(
@@ -16,8 +32,9 @@ class TestRightViewSynthesis:
         assert right.shape == (3, 48, 96)
         assert right.min() >= 0.0 and right.max() <= 255.0
 
-    def test_process_batch(self):
+    def test_process_batch(self, small_variables):
         rvs = RightViewSynthesis(output_shape=(48, 96),
+                                 variables=small_variables,
                                  model_full_shape=(128, 256),
                                  model_down_shape=(32, 64))
         batch = np.zeros((2, 3, 48, 96), np.float32)
