@@ -15,6 +15,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+try:  # persistent compile cache: DNN compiles over the TPU tunnel are slow
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001 — cache is best-effort
+    pass
+
 from stereo_tpu.pipeline import (DepthEstimationPipeline,
                                  extract_config_from_camera,
                                  run_depth_estimation_pipeline_evaluation)

@@ -228,16 +228,22 @@ class TestTrainedDeep3D:
         ckpt = os.path.join(REPO, "data", "checkpoints", "deep3d.npz")
         if not os.path.isfile(ckpt):
             pytest.skip("no committed deep3d checkpoint")
-        from stereo_tpu.models import Deep3D, load_params_npz
+        from stereo_tpu.models import (Deep3D, load_npz_meta,
+                                       load_params_npz)
 
+        # The FF block binds the weights to the training resolution; run the
+        # check at the checkpoint's own native shape (384x1280 since r3).
+        meta = load_npz_meta(ckpt)
+        h, w = (int(v) for v in meta.get("full_shape", [256, 512]))
         left, right, _ = synthetic_stereo_batch(
-            jax.random.PRNGKey(424242), batch_size=2, height=256, width=512,
+            jax.random.PRNGKey(424242), batch_size=2, height=h, width=w,
             min_disparity=2.0, max_disparity=52.0, depth_prior=True)
         left = left / 255.0
         right = right / 255.0
-        down = left.reshape(2, 3, 64, 4, 128, 4).mean(axis=(3, 5))
+        down = left.reshape(2, 3, h // 4, 4, w // 4, 4).mean(axis=(3, 5))
 
-        model = Deep3D()
+        model = Deep3D(prob_volume_scale=int(
+            meta.get("prob_volume_scale", 4)))
         variables = load_params_npz(ckpt)
         pred = model.apply(variables, left, down, train=False)
         err_model = float(jnp.abs(pred - right).mean())
