@@ -67,13 +67,17 @@ def single_view_demo(out_dir: str, backend_name: str, seed: int) -> None:
     from stereo_tpu.train.synthetic import synthetic_stereo_scene
     from stereo_tpu.utils.image_io import save_image_grid
 
+    # Scene shape = Deep3D's native operating shape (384x1280 since r3): at
+    # other shapes the wrapper's resize rescales scene disparities outside
+    # the model's 65-channel range.
+    h, w = 384, 1280
     key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
     left, right, gt, _ = jax.jit(
         synthetic_stereo_scene, static_argnums=(1, 2, 5, 6, 7)
-    )(key, 256, 512, 6.0, 58.0, 6, True, True)
+    )(key, h, w, 6.0, 58.0, 6, True, True)
     left = np.asarray(left)
 
-    config = PipelineConfig(image_shape=(256, 512), min_disparity=0,
+    config = PipelineConfig(image_shape=(h, w), min_disparity=0,
                             max_disparity=64,
                             stereo_matching_backend=backend_name)
     pipeline = DepthEstimationPipeline(config)
