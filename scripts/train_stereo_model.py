@@ -58,9 +58,19 @@ def train_synthetic(args) -> None:
         height=args.crop[0], width=args.crop[1],
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         total_steps=args.steps, chunk=args.chunk, variables=variables)
-    losses = trainer.train(args.steps)
     out_dir = args.checkpoint or (model_checkpoint_dir(args.model) + ".npz")
-    trainer.export(out_dir)
+    # Segmented export (stall/preemption insurance — hung tunnel RPCs have
+    # been observed mid-run; a stall then costs at most one segment and the
+    # run resumes via --resume --checkpoint <out>).
+    losses = []
+    remaining = args.steps
+    while remaining > 0:
+        seg = min(args.export_every, remaining)
+        losses.extend(trainer.train(seg))
+        remaining -= seg
+        trainer.export(out_dir)
+        print(f"checkpointed at step {trainer.step_count} -> {out_dir}",
+              flush=True)
     curve_path = os.path.join(os.path.dirname(os.path.abspath(out_dir)),
                               f"{args.model}_synthetic_losses.json")
     with open(curve_path, "w") as f:
@@ -89,6 +99,9 @@ def main() -> None:
     parser.add_argument("--crop", nargs=2, type=int, default=[256, 512])
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--export-every", type=int, default=5000,
+                        help="synthetic mode: export the checkpoint every "
+                             "N steps (stall/preemption insurance)")
     args = parser.parse_args()
 
     if args.synthetic:
