@@ -30,6 +30,20 @@ from .layers import Deconv2dParityMXU, nchw_to_nhwc
 
 NUM_DISPARITY_CHANNELS = 65
 
+
+def _fused_blend_eligible(full_shape, scale: int) -> bool:
+    """The fused Pallas upsample+blend needs a TPU backend, a legal row
+    tile, and scale-divisible dims."""
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return False
+    from ..ops.pallas.blend import pick_row_tile
+
+    h, w = int(full_shape[-2]), int(full_shape[-1])
+    return (h % scale == 0 and w % scale == 0
+            and pick_row_tile(h, scale) is not None)
+
 # VGG16 convolutional configuration, split at MaxPool boundaries (the
 # reference splits torchvision's vgg16.features the same way,
 # ``helpers/torch_helpers.py:47-57``).
@@ -134,7 +148,11 @@ class DisparityEstimationNetwork(nn.Module):
     prob_volume_scale: int = 4
 
     @nn.compact
-    def __call__(self, left_down_nhwc, train: bool = False):
+    def __call__(self, left_down_nhwc, train: bool = False,
+                 upsample: bool = True):
+        """``upsample=False`` returns the softmax volume at its computed
+        resolution (full / prob_volume_scale) — consumed by the fused
+        Pallas upsample+blend on the inference path."""
         if self.prob_volume_scale not in (2, 4):
             raise ValueError("prob_volume_scale must be 2 or 4")
         predictions = []
@@ -152,6 +170,8 @@ class DisparityEstimationNetwork(nn.Module):
         summed = sum(predictions)
         n_upconvs = 1 + (self.prob_volume_scale == 2)
         prob = DisparityUpconvSoftmax(n_upconvs)(summed)
+        if not upsample:
+            return prob
         n, h, w, c = prob.shape
         s = self.prob_volume_scale
         prob = jax.image.resize(prob, (n, s * h, s * w, c), method="bilinear")
@@ -177,6 +197,21 @@ class Deep3D(nn.Module):
             name="DisparityEstimationNetwork_0")
 
     def __call__(self, left_full_nchw, left_down_nchw, train: bool = False):
+        if not train and _fused_blend_eligible(left_full_nchw.shape,
+                                               self.prob_volume_scale):
+            # Inference on TPU: the volume's bilinear upsample and the
+            # 65-way blend run fused in Pallas — the (D, H, W) full-res
+            # volume (127 MB at 384x1280) never exists in HBM.  Matches the
+            # explicit composition below to float rounding (tested).
+            # Training keeps the explicit path (the fused kernel defines no
+            # VJP, and the losses consume the full-res volume anyway).
+            from ..ops.pallas.blend import upsample_blend
+
+            prob_low = self.disparity_network(nchw_to_nhwc(left_down_nchw),
+                                              train, upsample=False)
+            prob_low = jnp.transpose(prob_low, (0, 3, 1, 2))
+            return upsample_blend(prob_low, left_full_nchw,
+                                  self.prob_volume_scale)
         return self.synthesize_with_probabilities(
             left_full_nchw, left_down_nchw, train)[0]
 

@@ -129,3 +129,58 @@ class TestFusedPipeline:
             jnp.asarray(left), jnp.asarray(right),
             cfg.replace(impl="pallas")))
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestUpsampleBlend:
+    """Fused volume-upsample + shifted-view blend vs the explicit
+    ``jax.image.resize`` + ``weighted_shift_sum`` composition."""
+
+    @staticmethod
+    def _reference(prob_low, view, scale):
+        import jax
+
+        from stereo_tpu.ops.shift_stack import weighted_shift_sum
+
+        n, d, hl, wl = prob_low.shape
+        prob = jax.image.resize(prob_low, (n, d, scale * hl, scale * wl),
+                                method="bilinear")
+        return weighted_shift_sum(prob, view)
+
+    @pytest.mark.parametrize("scale,h,w,num_d,batch", [
+        (4, 16, 32, 9, 1),
+        (4, 48, 64, 65, 1),     # the real channel count; odd tile (48)
+        (2, 16, 32, 7, 2),      # ablation scale + batched lax.map path
+    ])
+    def test_matches_reference_composition(self, scale, h, w, num_d, batch):
+        from stereo_tpu.ops.pallas.blend import upsample_blend
+
+        rng = np.random.default_rng(5)
+        prob = rng.dirichlet(np.ones(num_d),
+                             (batch, h // scale, w // scale)).astype(np.float32)
+        prob = jnp.transpose(jnp.asarray(prob), (0, 3, 1, 2))
+        view = jnp.asarray(
+            rng.uniform(0, 255, (batch, 3, h, w)), jnp.float32)
+
+        got = np.asarray(upsample_blend(prob, view, scale))
+        want = np.asarray(self._reference(prob, view, scale))
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
+
+    def test_model_inference_parity(self):
+        """Deep3D.__call__'s fused path (here: interpret-mode ineligible ->
+        explicit path) must equal synthesize_with_probabilities' view."""
+        import jax
+
+        from stereo_tpu.models import Deep3D
+
+        model = Deep3D()
+        full = jnp.zeros((1, 3, 128, 256), jnp.float32)
+        down = jnp.zeros((1, 3, 32, 64), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), full, down, train=False)
+        left = jnp.asarray(np.random.default_rng(6).uniform(
+            0, 1, (1, 3, 128, 256)), jnp.float32)
+        ld = jnp.asarray(left.reshape(1, 3, 32, 4, 64, 4).mean(axis=(3, 5)))
+        out_call = model.apply(variables, left, ld, train=False)
+        out_expl, _ = model.apply(variables, left, ld, train=False,
+                                  method=Deep3D.synthesize_with_probabilities)
+        np.testing.assert_allclose(np.asarray(out_call),
+                                   np.asarray(out_expl), atol=1e-5)
