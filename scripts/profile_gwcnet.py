@@ -12,7 +12,11 @@ Usage:  python scripts/profile_gwcnet.py [--dtype bfloat16] [--m 10]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

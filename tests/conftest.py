@@ -25,9 +25,10 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite is compile-bound (Deep3D/GwcNet
 # CPU compiles dominate); repeat runs hit the cache and finish in a
 # fraction of the time.  Budget check (measured 2026-08-19, 4-way xdist,
-# 4 CPUs): COLD cache 5:41 for 173 tests, warm ~4:07 — inside the driver's
-# 8-minute budget; keep new model-compile tests behind --runslow or shared
-# session fixtures so it stays there.
+# 4 CPUs): COLD cache ~6:30 for 178 tests (7:46 before the heaviest two
+# new tests were trimmed), warm ~4:30 — inside the driver's 8-minute
+# budget; keep new model-compile tests behind --runslow or shared session
+# fixtures so it stays there.
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)

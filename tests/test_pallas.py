@@ -173,12 +173,12 @@ class TestUpsampleBlend:
         from stereo_tpu.models import Deep3D
 
         model = Deep3D()
-        full = jnp.zeros((1, 3, 128, 256), jnp.float32)
-        down = jnp.zeros((1, 3, 32, 64), jnp.float32)
+        full = jnp.zeros((1, 3, 128, 128), jnp.float32)   # minimum legal
+        down = jnp.zeros((1, 3, 32, 32), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), full, down, train=False)
         left = jnp.asarray(np.random.default_rng(6).uniform(
-            0, 1, (1, 3, 128, 256)), jnp.float32)
-        ld = jnp.asarray(left.reshape(1, 3, 32, 4, 64, 4).mean(axis=(3, 5)))
+            0, 1, (1, 3, 128, 128)), jnp.float32)
+        ld = jnp.asarray(left.reshape(1, 3, 32, 4, 32, 4).mean(axis=(3, 5)))
         out_call = model.apply(variables, left, ld, train=False)
         out_expl, _ = model.apply(variables, left, ld, train=False,
                                   method=Deep3D.synthesize_with_probabilities)
