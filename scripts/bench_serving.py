@@ -1,0 +1,153 @@
+"""REST-serving throughput/latency benchmark on the real device.
+
+Spins the stdlib threaded server in-process (classical backend by default),
+fires concurrent PNG uploads from client threads, and reports steady-state
+requests/s plus p50/p99 latency — the production-facing number the compute
+benchmarks (bench.py) don't capture: it includes PNG codec work, HTTP
+overhead, micro-batch coalescing, and device<->host transfer.
+
+Note when the accelerator sits behind a network tunnel (this container),
+per-request latency is dominated by the tunnel round trip + the disparity
+download, not by compute — the uint8 on-device quantization in
+``serve.api`` exists exactly to shrink that download 4x.
+
+Writes ``results/serving/serving_<backend>.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+try:  # persistent compile cache
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001
+    pass
+
+from stereo_tpu.core.config import PipelineConfig
+from stereo_tpu.serve import DepthEstimationServer
+
+
+def make_png(height: int, width: int, seed: int) -> bytes:
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (height, width, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--backend", default="classical")
+    parser.add_argument("--height", type=int, default=384)
+    parser.add_argument("--width", type=int, default=1280)
+    parser.add_argument("--max-disparity", type=int, default=64)
+    parser.add_argument("--micro-batch", type=int, default=4)
+    parser.add_argument("--clients", type=int, default=12)
+    parser.add_argument("--requests", type=int, default=240)
+    parser.add_argument("--single-view", action="store_true",
+                        help="exercise the RVS path (default: stereo via a "
+                             "synthetic right view is NOT possible over "
+                             "HTTP — the API contract is single-view)")
+    parser.add_argument("--output-dir", default="results/serving")
+    args = parser.parse_args()
+
+    config = PipelineConfig(image_shape=(args.height, args.width),
+                            min_disparity=0,
+                            max_disparity=args.max_disparity,
+                            stereo_matching_backend=args.backend)
+    server = DepthEstimationServer(config, micro_batch=args.micro_batch)
+    httpd = ThreadingHTTPServer(("localhost", 0), server.make_handler())
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://localhost:{httpd.server_address[1]}"
+
+    # Distinct payloads (the device tunnel memoizes value-identical work).
+    payloads = [make_png(args.height, args.width, s) for s in range(16)]
+
+    def post(i: int) -> float:
+        req = urllib.request.Request(url, data=payloads[i % len(payloads)],
+                                     method="POST")
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            body = resp.read()
+            assert resp.status == 200 and body[:4] == b"\x89PNG"
+        return time.perf_counter() - t0
+
+    # Warmup: compile + caches.
+    for i in range(max(args.micro_batch, 2)):
+        post(i)
+
+    latencies: list = []
+    lock = threading.Lock()
+    counter = {"next": 0}
+
+    def worker():
+        while True:
+            with lock:
+                i = counter["next"]
+                if i >= args.requests:
+                    return
+                counter["next"] = i + 1
+            dt = post(i)
+            with lock:
+                latencies.append(dt)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker) for _ in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    lat_ms = np.sort(np.asarray(latencies) * 1000.0)
+    result = {
+        "backend": args.backend,
+        "image_shape": [args.height, args.width],
+        "micro_batch": args.micro_batch,
+        "clients": args.clients,
+        "requests": args.requests,
+        "requests_per_s": round(args.requests / wall, 2),
+        "latency_ms": {"p50": round(float(lat_ms[len(lat_ms) // 2]), 1),
+                       "p99": round(float(lat_ms[int(len(lat_ms) * 0.99)
+                                                 - 1]), 1),
+                       "mean": round(float(lat_ms.mean()), 1)},
+        "batches_run": server.batcher.batches_run if server.batcher else None,
+        "frames_run": server.batcher.frames_run if server.batcher else None,
+        "note": ("end-to-end HTTP: PNG decode, micro-batch coalescing, "
+                 "uint8 frame upload + on-device f32 upcast, device "
+                 "compute, on-device u8 disparity quantization, PNG "
+                 "encode; remote-tunnel transfer dominates latency in "
+                 "this container (fp32 upload measured 4.3 req/s / "
+                 "p50 1.75 s on the same setup)"),
+    }
+    httpd.shutdown()
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = os.path.join(args.output_dir, f"serving_{args.backend}.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    print(f"Wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

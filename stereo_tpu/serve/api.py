@@ -33,19 +33,61 @@ from ..pipeline.depth_pipeline import DepthEstimationPipeline
 
 
 def decode_png_to_pipeline_image(data: bytes, image_shape) -> np.ndarray:
-    """PNG bytes -> (3, H, W) float32 resized to the pipeline shape
-    (parity: ``api.py:17-22``)."""
+    """PNG bytes -> (3, H, W) uint8 (0..255) resized to the pipeline shape
+    (parity: ``api.py:17-22``).  Kept uint8 on the host: PIL's resize
+    already produces integer pixels, and uploading one byte per pixel is
+    4x less host->device traffic than fp32 — the dominant cost per request
+    when the accelerator sits behind a network tunnel.  The upcast to
+    float32 happens on device (``device_upcast_f32``)."""
     with Image.open(io.BytesIO(data)) as im:
         im = im.convert("RGB").resize((image_shape[1], image_shape[0]),
                                       Image.BILINEAR)
-        arr = np.asarray(im, dtype=np.float32)
+        arr = np.asarray(im, dtype=np.uint8)
     return np.ascontiguousarray(arr.transpose(2, 0, 1))
 
 
-def encode_disparity_png(disparity_hw: np.ndarray) -> bytes:
+_upcast_fn = None
+
+
+def device_upcast_f32(x_u8: np.ndarray):
+    """Transfer a uint8 host array and upcast to float32 ON DEVICE.
+
+    Every engine entry point accepts fp32; casting host-side would make the
+    tunnel carry 4 bytes/pixel.  This ships the uint8 bytes and runs a
+    trivial jitted ``astype`` on device, so the engines receive a device
+    fp32 array and their own ``jnp.asarray(..., float32)`` is a no-op."""
+    global _upcast_fn
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        if _upcast_fn is None:
+            _upcast_fn = jax.jit(lambda a: a.astype(jnp.float32))
+        return _upcast_fn(x_u8)
+    except Exception:  # noqa: BLE001 — degrade to a host-side cast
+        return np.asarray(x_u8, dtype=np.float32)
+
+
+def quantize_disparity_u8(disparity_hw) -> np.ndarray:
+    """Round/clip a float disparity map to uint8 ON THE DEVICE when it is a
+    jax array (4x less device->host transfer than pulling f32 and casting
+    on the host — the transfer dominates per-request serving latency when
+    the accelerator is remote), else on the host."""
+    try:
+        import jax.numpy as jnp
+
+        if hasattr(disparity_hw, "devices"):          # jax array
+            return np.asarray(jnp.clip(jnp.round(disparity_hw), 0, 255)
+                              .astype(jnp.uint8))
+    except Exception:  # noqa: BLE001 — fall through to the host path
+        pass
+    return np.clip(np.round(np.asarray(disparity_hw)), 0, 255).astype(np.uint8)
+
+
+def encode_disparity_png(disparity_hw) -> bytes:
     """(H, W) float disparity -> 8-bit PNG bytes (values clipped 0..255,
     matching the reference's uint8 encode of raw disparities)."""
-    arr = np.clip(np.round(np.asarray(disparity_hw)), 0, 255).astype(np.uint8)
+    arr = quantize_disparity_u8(disparity_hw)
     buf = io.BytesIO()
     Image.fromarray(arr).save(buf, format="PNG")
     return buf.getvalue()
@@ -129,8 +171,9 @@ class MicroBatcher:
                 lefts = np.concatenate(
                     [lefts, np.repeat(lefts[-1:], pad, axis=0)])
             try:
-                result = self.pipeline.process_batch(lefts, None)
-                disparities = np.asarray(result.disparity_map)
+                result = self.pipeline.process_batch(
+                    device_upcast_f32(lefts), None)
+                disparities = quantize_disparity_u8(result.disparity_map)
             except Exception as exc:  # noqa: BLE001 — propagate per-request
                 for _, future in group:
                     future.set_exception(exc)
@@ -167,8 +210,9 @@ class DepthEstimationServer:
             disparity = self.batcher.submit(left).result(timeout=120)
         else:
             with self._lock:   # one jitted engine; requests serialize
-                result = self.pipeline.process(left, None)
-                disparity = np.asarray(result.disparity_map)
+                result = self.pipeline.process(device_upcast_f32(left), None)
+                disparity = result.disparity_map   # device array; the u8
+                # quantization inside encode runs on device (less transfer)
         return encode_disparity_png(disparity)
 
     def make_handler(self):

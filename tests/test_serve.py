@@ -32,6 +32,18 @@ class TestCodecs:
         img = decode_png_to_pipeline_image(_png_bytes(10, 20), (16, 32))
         assert img.shape == (3, 16, 32)
 
+    def test_decode_is_uint8_and_upcast_is_device_f32(self):
+        # The wire contract: decode keeps uint8 (1 byte/pixel upload) and
+        # the upcast to f32 runs on device with exact values.
+        from stereo_tpu.serve.api import device_upcast_f32
+
+        img = decode_png_to_pipeline_image(_png_bytes(16, 32), (16, 32))
+        assert img.dtype == np.uint8
+        dev = device_upcast_f32(img)
+        assert hasattr(dev, "devices")               # jax device array
+        assert dev.dtype == np.float32
+        np.testing.assert_array_equal(np.asarray(dev), img.astype(np.float32))
+
     def test_encode_roundtrip(self):
         disp = np.linspace(0, 64, 16 * 32, dtype=np.float32).reshape(16, 32)
         png = encode_disparity_png(disp)
