@@ -137,8 +137,10 @@ def main() -> None:
                  "uint8 frame upload + on-device f32 upcast, device "
                  "compute, on-device u8 disparity quantization, PNG "
                  "encode; remote-tunnel transfer dominates latency in "
-                 "this container (fp32 upload measured 4.3 req/s / "
-                 "p50 1.75 s on the same setup)"),
+                 "this container"
+                 + (" (fp32 upload measured 4.3 req/s / p50 1.75 s on "
+                    "the same classical setup)"
+                    if args.backend == "classical" else "")),
     }
     httpd.shutdown()
     os.makedirs(args.output_dir, exist_ok=True)
