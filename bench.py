@@ -40,13 +40,9 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def _enable_compile_cache() -> None:
     """Persistent compilation cache (tests have one; bench runs repeat the
     same programs across rounds and development runs warm the driver's)."""
-    import jax
+    from stereo_tpu.utils.compile_cache import enable_persistent_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as exc:  # noqa: BLE001 — cache is best-effort
-        print(f"bench: compile cache unavailable: {exc}", file=sys.stderr)
+    enable_persistent_cache(_CACHE_DIR)
 
 
 def _marginal_fps(frame_fn, args, m_small: int, m_large: int):
@@ -154,17 +150,10 @@ _TPU_GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "middlebury_demo_disparity_pallas_tpu.npz")
 
 
-def _middlebury_pallas_fps():
+def _middlebury_fps():
     """Classical engine at the Middlebury 1080p config (disparity 75..262),
     where ``impl='auto'`` selects the Pallas streamed-volume kernels —
-    driver-captured evidence for the Pallas path.
-
-    Also the Pallas semantic gate: when the demo pair and the committed
-    TPU-captured golden are available, the REAL demo disparity must match
-    the golden within 0.5 px on >= 99% of pixels (upgrade over the old
-    mean-disparity window; VERDICT r2 #4).  Transfers stay small: images
-    upload as uint8 and the comparison runs on device (one scalar back).
-    """
+    driver-captured evidence for the Pallas path."""
     import jax
     import jax.numpy as jnp
 
@@ -172,40 +161,54 @@ def _middlebury_pallas_fps():
     from stereo_tpu.matching.classical import compute_disparity_map
 
     cfg = MatchingConfig()   # Middlebury defaults: 1080x1920, 75..262
-
-    golden_frac = None
-    if os.path.isdir(_DEMO_DIR) and os.path.exists(_TPU_GOLDEN):
-        from PIL import Image
-
-        left8 = np.asarray(Image.open(os.path.join(_DEMO_DIR, "im0.png")),
-                           np.uint8).transpose(2, 0, 1)
-        right8 = np.asarray(Image.open(os.path.join(_DEMO_DIR, "im1.png")),
-                            np.uint8).transpose(2, 0, 1)
-        golden = np.load(_TPU_GOLDEN)["disparity"]
-
-        @jax.jit
-        def frac_within(l8, r8, g):
-            disp = compute_disparity_map(l8.astype(jnp.float32),
-                                         r8.astype(jnp.float32), cfg)
-            return jnp.mean((jnp.abs(disp - g.astype(jnp.float32))
-                             <= 0.5).astype(jnp.float32))
-
-        golden_frac = float(frac_within(
-            jax.device_put(left8), jax.device_put(right8),
-            jax.device_put(golden)))
-        assert golden_frac >= 0.99, (
-            f"Pallas demo disparity drifted: only {golden_frac:.4f} of "
-            f"pixels within 0.5px of the committed TPU golden")
-
     rng = np.random.default_rng(1)
     left = np.round(rng.uniform(0, 255, (3, cfg.height, cfg.width))
                     ).astype(np.float32)
     right = np.roll(left, -90, axis=-1)
     ld = jax.device_put(jnp.asarray(left))
     rd = jax.device_put(jnp.asarray(right))
-    fps = _single_m_fps(lambda l, r: compute_disparity_map(l, r, cfg),
-                        (ld, rd), m=100)
-    return fps, golden_frac
+    return _single_m_fps(lambda l, r: compute_disparity_map(l, r, cfg),
+                         (ld, rd), m=100)
+
+
+def _middlebury_golden_frac():
+    """The Pallas semantic gate: when the demo pair and the committed
+    TPU-captured golden are available, the REAL demo disparity must match
+    the golden within 0.5 px on >= 99% of pixels (upgrade over the old
+    mean-disparity window; VERDICT r2 #4).  Transfers stay small: images
+    upload as uint8 and the comparison runs on device (one scalar back).
+
+    Returns the matching fraction, or None when demo/golden are absent.
+    The caller asserts the gate AFTER reporting fps and frac, so a drift
+    (or a budget kill during this second compile) can never silently drop
+    the already-measured fps from the record.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_tpu.core.config import MatchingConfig
+    from stereo_tpu.matching.classical import compute_disparity_map
+
+    if not (os.path.isdir(_DEMO_DIR) and os.path.exists(_TPU_GOLDEN)):
+        return None
+    from PIL import Image
+
+    cfg = MatchingConfig()
+    left8 = np.asarray(Image.open(os.path.join(_DEMO_DIR, "im0.png")),
+                       np.uint8).transpose(2, 0, 1)
+    right8 = np.asarray(Image.open(os.path.join(_DEMO_DIR, "im1.png")),
+                        np.uint8).transpose(2, 0, 1)
+    golden = np.load(_TPU_GOLDEN)["disparity"]
+
+    @jax.jit
+    def frac_within(l8, r8, g):
+        disp = compute_disparity_map(l8.astype(jnp.float32),
+                                     r8.astype(jnp.float32), cfg)
+        return jnp.mean((jnp.abs(disp - g.astype(jnp.float32))
+                         <= 0.5).astype(jnp.float32))
+
+    return float(frac_within(jax.device_put(left8), jax.device_put(right8),
+                             jax.device_put(golden)))
 
 
 def _e2e_single_view_fps(compute_dtype: str = "float32"):
@@ -277,10 +280,16 @@ def _worker(job: str, dtype: str) -> None:
     """Subprocess entry: measure one metric, print one number."""
     _enable_compile_cache()
     if job == "middlebury":
-        fps, golden_frac = _middlebury_pallas_fps()
+        # fps FIRST (the headline Pallas evidence), gate second: a job-cap
+        # kill during the gate's extra compile then still leaves the fps in
+        # the record (main parses partial stdout on timeout).
+        print("WORKER_FPS", _middlebury_fps(), flush=True)
+        golden_frac = _middlebury_golden_frac()
         if golden_frac is not None:
             print("WORKER_GOLDEN_FRAC", golden_frac, flush=True)
-        print("WORKER_FPS", fps, flush=True)
+            assert golden_frac >= 0.99, (
+                f"Pallas demo disparity drifted: only {golden_frac:.4f} of "
+                f"pixels within 0.5px of the committed TPU golden")
     elif job == "e2e_single_view":
         print("WORKER_FPS", _e2e_single_view_fps(compute_dtype=dtype),
               flush=True)
@@ -315,6 +324,18 @@ def main() -> None:
     # later metric (the persistent cache usually makes repeats fast, and a
     # killed worker still leaves its compile in the cache for next time).
     job_cap_s = float(os.environ.get("BENCH_JOB_CAP_S", 240))
+
+    def harvest(stdout: str, name: str, baseline, dtype: str, key: str):
+        for line in (stdout or "").splitlines():
+            if line.startswith("WORKER_GOLDEN_FRAC"):
+                extra["pallas_golden_frac_within_0p5px"] = round(
+                    float(line.split()[1]), 4)
+            elif line.startswith("WORKER_FPS"):
+                fps = float(line.split()[1])
+                extra[key] = round(fps, 2)
+                if baseline is not None and dtype == "float32":
+                    extra[f"{name}_vs_baseline"] = round(fps / baseline, 2)
+
     for name, baseline, dtype, key in jobs:
         remaining = min(job_cap_s,
                         budget_s - (time.perf_counter() - start)
@@ -328,18 +349,29 @@ def main() -> None:
                  name, dtype],
                 capture_output=True, text=True, timeout=remaining,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
-            for line in proc.stdout.splitlines():
-                if line.startswith("WORKER_GOLDEN_FRAC"):
-                    extra["pallas_golden_frac_within_0p5px"] = round(
-                        float(line.split()[1]), 4)
-                elif line.startswith("WORKER_FPS"):
-                    fps = float(line.split()[1])
-                    extra[key] = round(fps, 2)
-                    if baseline is not None and dtype == "float32":
-                        extra[f"{name}_vs_baseline"] = round(fps / baseline, 2)
-        except subprocess.TimeoutExpired:
+            harvest(proc.stdout, name, baseline, dtype, key)
+            if proc.returncode != 0:
+                # A worker crash must be LOUD in the record, not a silently
+                # absent key: the middlebury worker's exit-1 is the Pallas
+                # golden gate itself (semantic regression), and any other
+                # crash is a broken engine.  Keep the one-JSON-line contract
+                # but carry the evidence.
+                tail = [ln for ln in proc.stderr.strip().splitlines()
+                        if ln and "WARNING" not in ln][-3:]
+                extra.setdefault("job_errors", {})[key] = " | ".join(tail)
+                print(f"bench: {key} worker exited {proc.returncode}:",
+                      file=sys.stderr)
+                print(proc.stderr[-2000:], file=sys.stderr)
+        except subprocess.TimeoutExpired as exc:
+            # Keep whatever the worker reported before the cap (e.g. the
+            # middlebury fps measured before the golden gate's compile).
+            out = exc.stdout
+            harvest(out.decode() if isinstance(out, bytes) else out,
+                    name, baseline, dtype, key)
+            extra.setdefault("job_errors", {})[key] = "job cap timeout"
             print(f"bench: {key} timed out", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
+            extra.setdefault("job_errors", {})[key] = str(exc)[:200]
             print(f"bench: {key} failed: {exc}", file=sys.stderr)
 
     classical = _classical_fps(extra)

@@ -44,14 +44,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-try:  # share bench.py's persistent compile cache (tunnel compiles are slow)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_bench_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # noqa: BLE001 — cache is best-effort
-    pass
+from stereo_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()   # tunnel compiles are slow; share bench.py's cache
 
 from stereo_tpu.core.config import MatchingConfig, MeshConfig
 from stereo_tpu.matching.classical import ClassicalStereoEngine

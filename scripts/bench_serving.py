@@ -30,15 +30,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-try:  # persistent compile cache
-    import jax
+from stereo_tpu.utils.compile_cache import enable_persistent_cache
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_bench_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # noqa: BLE001
-    pass
+enable_persistent_cache()
 
 from stereo_tpu.core.config import PipelineConfig
 from stereo_tpu.serve import DepthEstimationServer
@@ -63,10 +57,6 @@ def main() -> None:
     parser.add_argument("--micro-batch", type=int, default=4)
     parser.add_argument("--clients", type=int, default=12)
     parser.add_argument("--requests", type=int, default=240)
-    parser.add_argument("--single-view", action="store_true",
-                        help="exercise the RVS path (default: stereo via a "
-                             "synthetic right view is NOT possible over "
-                             "HTTP — the API contract is single-view)")
     parser.add_argument("--output-dir", default="results/serving")
     args = parser.parse_args()
 
@@ -119,7 +109,7 @@ def main() -> None:
         t.join()
     wall = time.perf_counter() - t0
 
-    lat_ms = np.sort(np.asarray(latencies) * 1000.0)
+    lat_ms = np.asarray(latencies) * 1000.0
     result = {
         "backend": args.backend,
         "image_shape": [args.height, args.width],
@@ -127,9 +117,8 @@ def main() -> None:
         "clients": args.clients,
         "requests": args.requests,
         "requests_per_s": round(args.requests / wall, 2),
-        "latency_ms": {"p50": round(float(lat_ms[len(lat_ms) // 2]), 1),
-                       "p99": round(float(lat_ms[int(len(lat_ms) * 0.99)
-                                                 - 1]), 1),
+        "latency_ms": {"p50": round(float(np.percentile(lat_ms, 50)), 1),
+                       "p99": round(float(np.percentile(lat_ms, 99)), 1),
                        "mean": round(float(lat_ms.mean()), 1)},
         "batches_run": server.batcher.batches_run if server.batcher else None,
         "frames_run": server.batcher.frames_run if server.batcher else None,

@@ -15,15 +15,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-try:  # persistent compile cache: DNN compiles over the TPU tunnel are slow
-    import jax
+from stereo_tpu.utils.compile_cache import enable_persistent_cache
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_bench_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # noqa: BLE001 — cache is best-effort
-    pass
+enable_persistent_cache()   # DNN compiles over the TPU tunnel are slow
 
 from stereo_tpu.pipeline import (DepthEstimationPipeline,
                                  extract_config_from_camera,

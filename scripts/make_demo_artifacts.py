@@ -22,15 +22,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-try:  # persistent compile cache (TPU-tunnel compiles are slow)
-    import jax
+from stereo_tpu.utils.compile_cache import enable_persistent_cache
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_bench_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # noqa: BLE001 — cache is best-effort
-    pass
+enable_persistent_cache()   # TPU-tunnel compiles are slow
 
 
 def _save_gray(path: str, array: np.ndarray, lo: float, hi: float) -> None:

@@ -111,6 +111,11 @@ def main() -> None:
     parser.add_argument("--resume", action="store_true")
     args = parser.parse_args()
 
+    if args.steps <= 0:
+        parser.error("--steps must be >= 1")
+    if args.export_every <= 0:
+        parser.error("--export-every must be >= 1 (it is the segment size "
+                     "of the segmented-export loop)")
     if args.synthetic:
         train_synthetic(args)
         return

@@ -19,22 +19,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _enable_compile_cache() -> None:
-    """Persistent compilation cache: the msnet train graphs take 8-20 min
-    to compile over the TPU tunnel; resumed/repeated runs shouldn't pay
-    that twice.  Best-effort (not all PJRT backends serialize)."""
-    import jax
+from stereo_tpu.utils.compile_cache import enable_persistent_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".jax_bench_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception as exc:  # noqa: BLE001
-        print(f"compile cache unavailable: {exc}", file=sys.stderr)
-
-
-_enable_compile_cache()
+# The msnet train graphs take 8-20 min to compile over the TPU tunnel;
+# resumed/repeated runs shouldn't pay that twice.
+enable_persistent_cache(min_compile_secs=10.0)
 
 from stereo_tpu.core.config import TrainerConfig
 from stereo_tpu.train import Kitti2015StereoDataset, StereoTrainer
@@ -104,6 +93,11 @@ def main() -> None:
                              "N steps (stall/preemption insurance)")
     args = parser.parse_args()
 
+    if args.steps <= 0:
+        parser.error("--steps must be >= 1")
+    if args.export_every <= 0:
+        parser.error("--export-every must be >= 1 (it is the segment size "
+                     "of the segmented-export loop)")
     if args.synthetic:
         train_synthetic(args)
         return

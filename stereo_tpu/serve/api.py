@@ -32,6 +32,13 @@ from ..core.config import PipelineConfig
 from ..pipeline.depth_pipeline import DepthEstimationPipeline
 
 
+class BadRequestError(ValueError):
+    """Client-side input error (bad image payload, missing multipart file
+    field) — maps to HTTP 400.  Anything else raised while serving is a
+    server-side failure and maps to 500, so load balancers and monitoring
+    can tell overload/device faults from malformed uploads."""
+
+
 def decode_png_to_pipeline_image(data: bytes, image_shape) -> np.ndarray:
     """PNG bytes -> (3, H, W) uint8 (0..255) resized to the pipeline shape
     (parity: ``api.py:17-22``).  Kept uint8 on the host: PIL's resize
@@ -39,10 +46,13 @@ def decode_png_to_pipeline_image(data: bytes, image_shape) -> np.ndarray:
     4x less host->device traffic than fp32 — the dominant cost per request
     when the accelerator sits behind a network tunnel.  The upcast to
     float32 happens on device (``device_upcast_f32``)."""
-    with Image.open(io.BytesIO(data)) as im:
-        im = im.convert("RGB").resize((image_shape[1], image_shape[0]),
-                                      Image.BILINEAR)
-        arr = np.asarray(im, dtype=np.uint8)
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            im = im.convert("RGB").resize((image_shape[1], image_shape[0]),
+                                          Image.BILINEAR)
+            arr = np.asarray(im, dtype=np.uint8)
+    except Exception as exc:  # noqa: BLE001 — undecodable upload
+        raise BadRequestError(f"invalid image payload: {exc}") from exc
     return np.ascontiguousarray(arr.transpose(2, 0, 1))
 
 
@@ -227,13 +237,14 @@ class DepthEstimationServer:
                     if ctype.startswith("multipart/form-data"):
                         payload = _extract_multipart_file(body, ctype)
                         if payload is None:
-                            raise ValueError("no file field in upload")
+                            raise BadRequestError("no file field in upload")
                     else:
                         payload = body
                     png = server.run_pipeline(payload)
                 except Exception as exc:  # noqa: BLE001 — report to client
+                    status = 400 if isinstance(exc, BadRequestError) else 500
                     msg = json.dumps({"error": str(exc)}).encode()
-                    self.send_response(400)
+                    self.send_response(status)
                     self.send_header("Content-Type", "application/json")
                     self.send_header("Content-Length", str(len(msg)))
                     self.end_headers()
@@ -322,15 +333,16 @@ def create_asgi_app(config: PipelineConfig = PipelineConfig(),
             if ctype.startswith("multipart/form-data"):
                 payload = _extract_multipart_file(body, ctype)
                 if payload is None:
-                    raise ValueError("no file field in upload")
+                    raise BadRequestError("no file field in upload")
             else:
                 payload = body
             loop = asyncio.get_running_loop()
             png = await loop.run_in_executor(None, server.run_pipeline,
                                              payload)
         except Exception as exc:  # noqa: BLE001 — report to client
+            status = 400 if isinstance(exc, BadRequestError) else 500
             msg = json.dumps({"error": str(exc)}).encode()
-            await _respond(send, 400, b"application/json", msg)
+            await _respond(send, status, b"application/json", msg)
             return
         await _respond(send, 200, b"image/png", png)
 

@@ -137,6 +137,14 @@ class RightViewSynthesis:
                 return load_params_npz(npz)
             if os.path.isdir(cand) and os.listdir(cand):
                 return load_params(cand)
+            if cand is checkpoint_dir:
+                # An EXPLICIT path must not silently fall back to the
+                # default committed weights — a typo'd --rvs-checkpoint
+                # would otherwise record ablation results measured on the
+                # baseline model.
+                raise FileNotFoundError(
+                    f"RVS checkpoint not found: {checkpoint_dir!r} "
+                    f"(no {npz} and no non-empty Orbax dir)")
         return None
 
 

@@ -1,3 +1,4 @@
-from . import image_io, paths, pointcloud, profiling, velodyne
+from . import compile_cache, image_io, paths, pointcloud, profiling, velodyne
 
-__all__ = ["image_io", "paths", "pointcloud", "profiling", "velodyne"]
+__all__ = ["compile_cache", "image_io", "paths", "pointcloud", "profiling",
+           "velodyne"]

@@ -285,3 +285,33 @@ class TestAsgiApp:
     def test_method_not_allowed(self):
         status, _, _ = self._call(self._app(), "DELETE")
         assert status == 405
+
+    def test_pipeline_failure_is_500(self):
+        # Server-side faults (device error, batcher timeout) must NOT be
+        # labelled 400: monitoring and load balancers treat 4xx as the
+        # client's fault.
+        from stereo_tpu.serve.api import create_asgi_app
+
+        class ExplodingPipeline:
+            def process(self, left, right):
+                raise RuntimeError("device fell over")
+
+        config = PipelineConfig(image_shape=(16, 32), min_disparity=0,
+                                max_disparity=8, matching=TINY,
+                                stereo_matching_backend="classical")
+        app = create_asgi_app(config, pipeline=ExplodingPipeline())
+        status, _, body = self._call(app, "POST", _png_bytes(16, 32))
+        assert status == 500
+        assert b"device fell over" in body
+
+
+class TestCheckpointErrors:
+    def test_explicit_missing_rvs_checkpoint_raises(self):
+        # A typo'd --rvs-checkpoint must fail loudly, not silently fall
+        # back to the default committed weights (which would record
+        # ablation results measured on the baseline model).
+        from stereo_tpu.synthesis import RightViewSynthesis
+
+        with pytest.raises(FileNotFoundError, match="no_such_ckpt"):
+            RightViewSynthesis(output_shape=(48, 96),
+                               checkpoint_dir="/tmp/no_such_ckpt")
