@@ -138,6 +138,45 @@ def _single_m_fps(frame_fn, args, m: int):
     return m / max(wall - _rpc_floor_s(), wall * 0.1)
 
 
+def _chained_slope_fps(chain_fn, make_input, m_small: int = 8,
+                       m_large: int = 24):
+    """Dispatch-slope throughput for multi-executable (chained) paths.
+
+    Split-executable inference (the Mosaic-in-module penalty — see
+    ``synthesis/right_view_synthesis.py``'s module docstring) cannot be
+    timed by the in-graph protocols: the chain crosses executable
+    boundaries.  Instead the chain is dispatched over M unique on-device
+    inputs (dispatches queue asynchronously; one block at the end), at two
+    M values, slope taken — fixed tunnel cost cancels.  ``make_input(i)``
+    must be an on-device producer (a jitted perturb of a resident base
+    array): unique values defeat the tunnel's value-identical execution
+    memoization, and nothing crosses the tunnel per frame.  Each M is
+    timed twice, min taken.
+    """
+    import jax
+
+    counter = [0]
+
+    def fresh():
+        counter[0] += 1
+        return make_input(counter[0])
+
+    jax.block_until_ready(chain_fn(fresh()))                    # compile
+
+    def timed(m):
+        ins = [fresh() for _ in range(m)]
+        jax.block_until_ready(ins)
+        t0 = time.perf_counter()
+        outs = [chain_fn(x) for x in ins]
+        jax.block_until_ready(outs[-1])
+        return time.perf_counter() - t0
+
+    t_small = min(timed(m_small), timed(m_small))
+    t_large = min(timed(m_large), timed(m_large))
+    slope = max((t_large - t_small) / (m_large - m_small), 1e-6)
+    return 1.0 / slope
+
+
 def _classical_fps(extra: dict):
     import jax
     import jax.numpy as jnp
@@ -247,13 +286,41 @@ def _e2e_single_view_fps(compute_dtype: str = "float32"):
 
     cfg = MatchingConfig(height=384, width=1280, min_disparity=0,
                          max_disparity=64)
-    rvs = RightViewSynthesis(output_shape=(384, 1280))
+    rvs = RightViewSynthesis(output_shape=(384, 1280),
+                             compute_dtype=compute_dtype)
     dtype = jnp.dtype(compute_dtype)
 
-    # The Deep3D variables MUST be jit arguments, not a closure: closed-over
-    # weights become HLO constants, and the ~170 MB body blows the remote
-    # compile server's request-size limit (HTTP 413) after minutes of
-    # upload at tunnel bandwidth.
+    rng = np.random.default_rng(2)
+    left = np.round(rng.uniform(0, 255, (3, 384, 1280))).astype(np.float32)
+    ld = jax.device_put(jnp.asarray(left))
+    # device_put ONCE: a host-side numpy pytree would re-cross the tunnel
+    # (~170 MB at ~1.3 MB/s) on every timed call.
+    variables = jax.device_put(rvs.variables)
+
+    if rvs.split_inference:
+        # Production TPU path: THREE chained executables — the pure-XLA
+        # Deep3D net, the Pallas blend tail, the Pallas classical matcher.
+        # Keeping the net free of Mosaic calls preserves XLA's latency
+        # hiding (~1.2 ms/frame recovered vs the old single module; see
+        # right_view_synthesis.py).  Measured with the dispatch-slope
+        # protocol since the chain crosses executables.
+        match = jax.jit(
+            lambda l, r: compute_disparity_map(l, r, cfg))
+        perturb = jax.jit(lambda i: jnp.clip(
+            ld + i * jnp.float32(1e-3), 0.0, 255.0))
+
+        def chain(left_dev):
+            prob_low, full01 = rvs._fn_net(variables, left_dev[None])
+            right = rvs._fn_tail(prob_low, full01)[0]
+            return match(left_dev, right)
+
+        return _chained_slope_fps(
+            chain, lambda i: perturb(jnp.float32(i)))
+
+    # Non-TPU fallback: the one-graph composition, in-graph protocol.
+    # Weights MUST be jit arguments, not a closure: closed-over weights
+    # become HLO constants, and the ~170 MB body blows the remote compile
+    # server's request-size limit (HTTP 413).
     def frame(left, variables):
         right = synthesize_batch(rvs.model, variables, left[None],
                                  output_shape=(384, 1280),
@@ -262,12 +329,6 @@ def _e2e_single_view_fps(compute_dtype: str = "float32"):
                                  compute_dtype=dtype)[0]
         return compute_disparity_map(left, right, cfg)
 
-    rng = np.random.default_rng(2)
-    left = np.round(rng.uniform(0, 255, (3, 384, 1280))).astype(np.float32)
-    ld = jax.device_put(jnp.asarray(left))
-    # device_put ONCE: a host-side numpy pytree would re-cross the tunnel
-    # (~170 MB at ~1.3 MB/s) on every timed call.
-    variables = jax.device_put(rvs.variables)
     return _single_m_fps(frame, (ld, variables), m=50)
 
 

@@ -207,13 +207,26 @@ class Deep3D(nn.Module):
             # VJP, and the losses consume the full-res volume anyway).
             from ..ops.pallas.blend import upsample_blend
 
-            prob_low = self.disparity_network(nchw_to_nhwc(left_down_nchw),
-                                              train, upsample=False)
-            prob_low = jnp.transpose(prob_low, (0, 3, 1, 2))
+            prob_low = self.prob_volume_low(left_down_nchw, train)
             return upsample_blend(prob_low, left_full_nchw,
                                   self.prob_volume_scale)
         return self.synthesize_with_probabilities(
             left_full_nchw, left_down_nchw, train)[0]
+
+    def prob_volume_low(self, left_down_nchw, train: bool = False):
+        """Softmax disparity volume at its COMPUTED resolution, (N, 65,
+        full_h / prob_volume_scale, full_w / prob_volume_scale) NCHW.
+
+        This is the hand-off point for split-executable inference: a module
+        containing any Mosaic (Pallas) custom call loses XLA's latency
+        hiding for every co-compiled op on TPU (measured: this pure-XLA
+        network runs 1.6 ms alone vs 2.8 ms co-compiled with even a trivial
+        8x128 Pallas copy kernel, flat in the number of calls), so the
+        inference wrapper runs the network and the fused Pallas blend as
+        two executables chained on-device."""
+        prob = self.disparity_network(nchw_to_nhwc(left_down_nchw), train,
+                                      upsample=False)
+        return jnp.transpose(prob, (0, 3, 1, 2))
 
     def disparity_probabilities(self, left_down_nchw, train: bool = False):
         """Expose the softmax disparity volume (for visualization)."""

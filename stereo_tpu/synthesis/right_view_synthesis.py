@@ -8,8 +8,17 @@ resolution, scales to 0..1, runs Deep3D, rescales to 0..255
 (``right_view_synthesis.py:34-40`` — here warmup == jit compilation).
 
 The whole path — resize, normalize, Deep3D forward, 65-way blend, rescale,
-resize back — is ONE jitted XLA graph (the reference splits it across
-Python, TorchScript, and a custom CUDA kernel).
+resize back — compiles to jitted XLA graphs (the reference splits it across
+Python, TorchScript, and a custom CUDA kernel).  On TPU the inference path
+is TWO chained executables, not one: a module containing any Mosaic
+(Pallas) custom call loses XLA's latency hiding for every co-compiled op
+(measured on v5e: the pure-XLA Deep3D net runs 1.6 ms alone vs 2.8 ms when
+co-compiled with even a trivial 8x128 Pallas copy kernel — a fixed ~1.2 ms
+penalty, flat in the number of Pallas calls).  Splitting the XLA network
+(``synthesize_net_batch``) from the fused Pallas upsample+blend tail
+(``fused_blend_tail``) recovers that penalty: the chained pair measures
+~4.35 ms/frame vs ~5.34 ms single-module on the e2e single-view path.
+Training and non-TPU backends keep the one-graph ``synthesize_batch``.
 """
 
 from __future__ import annotations
@@ -65,6 +74,47 @@ def synthesize_batch(model: Deep3D, variables, left_nchw: jnp.ndarray,
     return right
 
 
+def synthesize_net_batch(model: Deep3D, variables, left_nchw: jnp.ndarray,
+                         full_shape: Tuple[int, int] = RVS_FULL_SHAPE,
+                         down_shape: Tuple[int, int] = RVS_DOWNSCALED_SHAPE,
+                         compute_dtype=jnp.float32):
+    """Pure-XLA half of split inference: (N, 3, H, W) 0..255 left views ->
+    ``(prob_low, full01)`` — the softmax disparity volume at its computed
+    resolution (N, 65, fh/s, fw/s) and the normalized full-res view
+    (N, 3, fh, fw), both in ``compute_dtype``.  Contains no Pallas call,
+    so the VGG/FF network keeps XLA's latency-hiding schedule (see module
+    docstring)."""
+    full = _resize_chw(left_nchw, full_shape) / 255.0
+    down = _resize_chw(left_nchw, down_shape) / 255.0
+    if compute_dtype != jnp.float32:
+        cast = lambda t: (t.astype(compute_dtype)
+                          if isinstance(t, jnp.ndarray) and
+                          t.dtype == jnp.float32 else t)
+        variables = jax.tree_util.tree_map(cast, variables)
+        full = full.astype(compute_dtype)
+        down = down.astype(compute_dtype)
+    prob_low = model.apply(variables, down, train=False,
+                           method=Deep3D.prob_volume_low)
+    return prob_low, full
+
+
+def fused_blend_tail(prob_low: jnp.ndarray, full01: jnp.ndarray, scale: int,
+                     output_shape: Tuple[int, int],
+                     full_shape: Tuple[int, int]) -> jnp.ndarray:
+    """Pallas half of split inference: fused upsample+blend + 0..255
+    rescale + output resize.  ``fused_blend_tail(*synthesize_net_batch(...))``
+    computes exactly what ``synthesize_batch`` computes on the TPU fused
+    path — the executable boundary is the only difference (equivalence
+    tested)."""
+    from ..ops.pallas.blend import upsample_blend
+
+    right = upsample_blend(prob_low, full01, scale)
+    right = rescale_generated_view(right.astype(jnp.float32))
+    if tuple(output_shape) != tuple(full_shape):
+        right = _resize_chw(right, output_shape)
+    return right
+
+
 class RightViewSynthesis:
     """Stateful wrapper owning the Deep3D variables and the jitted graph."""
 
@@ -107,20 +157,43 @@ class RightViewSynthesis:
             full_shape=self.model_full_shape,
             down_shape=self.model_down_shape,
             compute_dtype=self.compute_dtype))
+        # Split inference (TPU + fused-blend-eligible): the pure-XLA network
+        # and the Pallas blend tail compile as separate executables so the
+        # network keeps XLA's latency-hiding schedule (module docstring).
+        from ..models.deep3d import _fused_blend_eligible
+        self.split_inference = _fused_blend_eligible(
+            (1, 3, *self.model_full_shape), self.model.prob_volume_scale)
+        if self.split_inference:
+            self._fn_net = jax.jit(functools.partial(
+                synthesize_net_batch, self.model,
+                full_shape=self.model_full_shape,
+                down_shape=self.model_down_shape,
+                compute_dtype=self.compute_dtype))
+            self._fn_tail = jax.jit(functools.partial(
+                fused_blend_tail, scale=self.model.prob_volume_scale,
+                output_shape=self.output_shape,
+                full_shape=self.model_full_shape))
         if warmup:
             self.warmup()
 
     def process(self, left_image) -> jax.Array:
         """(3, H, W) 0..255 -> (3, *output_shape) 0..255."""
         left = jnp.asarray(left_image, jnp.float32)
-        return self._fn(self.variables, left[None])[0]
+        return self._synthesize(self.variables, left[None])[0]
 
     def process_batch(self, left_batch) -> jax.Array:
-        return self._fn(self.variables, jnp.asarray(left_batch, jnp.float32))
+        return self._synthesize(self.variables,
+                                jnp.asarray(left_batch, jnp.float32))
+
+    def _synthesize(self, variables, left_nchw: jnp.ndarray) -> jax.Array:
+        if self.split_inference:
+            prob_low, full01 = self._fn_net(variables, left_nchw)
+            return self._fn_tail(prob_low, full01)
+        return self._fn(variables, left_nchw)
 
     def warmup(self) -> None:
         x = jnp.zeros((1, 3, 64, 64), jnp.float32)
-        jax.block_until_ready(self._fn(self.variables, x))
+        jax.block_until_ready(self._synthesize(self.variables, x))
 
     def _load_checkpoint(self, checkpoint_dir: Optional[str]):
         """Restore trained variables (npz or Orbax) or return None."""

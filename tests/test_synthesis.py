@@ -98,3 +98,33 @@ class TestRightViewSynthesis:
             assert rvs.model_full_shape == (128, 256)
             out = np.asarray(rvs.process(np.zeros((3, 48, 96), np.float32)))
             assert out.shape == (3, 48, 96)
+
+
+class TestSplitInference:
+    def test_split_matches_single_graph(self, small_variables):
+        """``fused_blend_tail(*synthesize_net_batch(...))`` — the two-
+        executable TPU inference path (Mosaic-in-module penalty workaround,
+        module docstring) — must compute what ``synthesize_batch`` computes.
+        On CPU the Pallas blend runs in interpret mode and the single-graph
+        path takes the explicit composition, so this also re-pins the
+        fused-vs-explicit equivalence at the wrapper level."""
+        import jax.numpy as jnp
+
+        from stereo_tpu.models import Deep3D
+        from stereo_tpu.synthesis.right_view_synthesis import (
+            fused_blend_tail, synthesize_batch, synthesize_net_batch)
+
+        model = Deep3D()
+        left = np.random.default_rng(3).integers(
+            0, 256, (1, 3, 128, 256)).astype(np.float32)
+        kw = dict(full_shape=(128, 256), down_shape=(32, 64))
+        single = np.asarray(synthesize_batch(
+            model, small_variables, jnp.asarray(left),
+            output_shape=(48, 96), **kw))
+        prob_low, full01 = synthesize_net_batch(
+            model, small_variables, jnp.asarray(left), **kw)
+        assert prob_low.shape == (1, 65, 32, 64)
+        split = np.asarray(fused_blend_tail(
+            prob_low, full01, scale=4, output_shape=(48, 96),
+            full_shape=(128, 256)))
+        np.testing.assert_allclose(split, single, atol=0.05)
