@@ -2,11 +2,12 @@
 
 Parity with the reference's ``pipeline/synthesis/trainer.py``: L1
 reconstruction loss against the real right view, Adam with lr 2e-4 /
-betas (0.9, 0.999) / weight decay 1e-4 (``:49-51``), per-epoch mean-loss
-logging and a checkpoint per epoch with resume support
+betas (0.9, 0.999) / *coupled* L2 weight decay 1e-4 (torch ``Adam``'s
+``weight_decay`` semantics, ``:49-51``), per-epoch mean-loss logging and
+a checkpoint per epoch with resume support
 (``:38-44``, ``scripts/train_right_view_synthesis_model.py:15-18``).
 
-TPU-native design: optax AdamW + a single jitted ``train_step`` with donated
+TPU-native design: a single jitted ``train_step`` with donated
 state (replaces ``DataParallel`` — data parallelism is a mesh axis, see
 ``stereo_tpu.parallel``); checkpoints are Orbax composite saves of
 {params, opt_state, epoch}.
@@ -30,13 +31,25 @@ from .kitti_dataset import KittiStereoDataset, batch_iterator
 
 
 def make_optimizer(config: TrainerConfig) -> optax.GradientTransformation:
-    """AdamW with an injectable learning rate (for the StepLR schedule).
+    """torch-``Adam(lr, weight_decay)`` parity with an injectable learning
+    rate (for the StepLR schedule).
 
-    The reference declares ``step_size``/``gamma`` (torch StepLR
-    hyperparameters, ``trainer.py:21-22``) but never constructs a
-    scheduler; here they are actually honored — see
-    :func:`step_lr_for_epoch`."""
-    return optax.inject_hyperparams(optax.adamw)(
+    The reference uses *coupled* L2 — torch ``Adam``'s ``weight_decay``
+    adds ``wd * param`` to the gradient BEFORE the moment updates
+    (``pipeline/synthesis/trainer.py:49-51``) — which is
+    ``add_decayed_weights`` ahead of ``scale_by_adam``, NOT decoupled
+    ``adamw`` (decay after the moments).  The reference also declares
+    ``step_size``/``gamma`` (torch StepLR hyperparameters,
+    ``trainer.py:21-22``) but never constructs a scheduler; here they are
+    actually honored — see :func:`step_lr_for_epoch`."""
+
+    def coupled_adam(learning_rate, b1, b2, weight_decay):
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(b1=b1, b2=b2),
+            optax.scale_by_learning_rate(learning_rate))
+
+    return optax.inject_hyperparams(coupled_adam)(
         learning_rate=config.learning_rate, b1=config.momentum, b2=0.999,
         weight_decay=config.weight_decay)
 
