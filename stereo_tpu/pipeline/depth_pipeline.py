@@ -79,7 +79,22 @@ class DepthEstimationPipeline:
                                      disparity_map=disparity_map)
 
     def process_batch(self, left_batch, right_batch=None) -> DepthEstimationResult:
-        """A batch of frames: (N, 3, H, W) -> (N, H, W) disparities."""
+        """A batch of frames: (N, 3, H, W) -> (N, H, W) disparities.
+
+        Under a multi-device mesh with the classical backend, the
+        single-view path (``right_batch=None`` — the reference's headline
+        scenario, ``api.py:25-31``) runs RVS + matching as ONE sharded
+        graph (``parallel/synthesis.py``): Deep3D GSPMD-partitioned over
+        batch x rows, the matcher frame-parallel per shard."""
+        cfg = self._config
+        if (right_batch is None and cfg.mesh is not None
+                and cfg.mesh.num_devices > 1
+                and cfg.stereo_matching_backend in ("classical", "cuda")):
+            disparity, right_batch = self._sharded_single_view().process_batch(
+                left_batch, return_right=True)
+            return DepthEstimationResult(left_image=left_batch,
+                                         right_image=right_batch,
+                                         disparity_map=disparity)
         if right_batch is None:
             right_batch = self._synthesis().process_batch(left_batch)
         disparity = self._stereo_matching.process_batch(left_batch, right_batch)
@@ -124,3 +139,14 @@ class DepthEstimationPipeline:
                 compute_dtype=self._config.compute_dtype,
                 checkpoint_dir=self._config.rvs_checkpoint)
         return self._right_view_synthesis
+
+    def _sharded_single_view(self):
+        if getattr(self, "_sharded_sv_engine", None) is None:
+            from ..parallel import ShardedSingleViewEngine
+            self._sharded_sv_engine = ShardedSingleViewEngine(
+                self._config.matching_config(), self._config.mesh,
+                synthesis=self._right_view_synthesis,
+                checkpoint_dir=self._config.rvs_checkpoint,
+                compute_dtype=self._config.compute_dtype)
+            self._right_view_synthesis = self._sharded_sv_engine.synthesis
+        return self._sharded_sv_engine
