@@ -19,7 +19,7 @@ Differences from the reference (documented, behavior-preserving):
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -92,22 +92,33 @@ class DeconvBranch(nn.Module):
 class FeedForwardBranch(nn.Module):
     """Global branch (reference ``FeedForwardBlock`` + ``disparity_deconv``,
     ``deep3d.py:102-117,149-150``): fc 15360 -> 4096 -> dropout -> 1950,
-    reshaped to a (3, 10, 65) map and deconvolved x16."""
+    reshaped to a (3, 10, 65) map and deconvolved x16.
+
+    ``dense_dtype=bfloat16`` (inference) runs the two fc matmuls in bf16 —
+    the 15360x4096 kernel is 252 MB in fp32 and its HBM read dominates the
+    branch (measured 0.59 ms fp32-resident vs 0.20 ms bf16-resident on
+    v5e).  The bf16 compute dtype is what makes the bf16 weight read
+    stick: a bf16-STORED kernel consumed by an fp32 matmul makes XLA
+    materialize the 252 MB widening convert instead (measured 1.6x SLOWER
+    end-to-end).  The branch output is cast back to fp32 before summation.
+    ``None`` (training / exact-fp32) keeps everything fp32."""
 
     hidden_dim: int = 4096
     grid: Tuple[int, int] = (3, 10)
+    dense_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x_nhwc, train: bool = False):
         n = x_nhwc.shape[0]
         x = x_nhwc.reshape(n, -1)
-        x = nn.Dense(self.hidden_dim,
+        x = nn.Dense(self.hidden_dim, dtype=self.dense_dtype,
                      kernel_init=nn.initializers.normal(0.01))(x)
         x = nn.relu(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         gh, gw = self.grid
-        x = nn.Dense(gh * gw * NUM_DISPARITY_CHANNELS,
+        x = nn.Dense(gh * gw * NUM_DISPARITY_CHANNELS, dtype=self.dense_dtype,
                      kernel_init=nn.initializers.normal(0.01))(x)
+        x = x.astype(x_nhwc.dtype)
         x = x.reshape(n, gh, gw, NUM_DISPARITY_CHANNELS)
         return Deconv2dParityMXU(NUM_DISPARITY_CHANNELS, 16,
                                  name="ConvTranspose_0")(x)
@@ -146,6 +157,7 @@ class DisparityEstimationNetwork(nn.Module):
 
     deconv_filters: Sequence[int] = (64, 128, 256, 512, 512)
     prob_volume_scale: int = 4
+    ff_dense_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, left_down_nhwc, train: bool = False,
@@ -166,7 +178,8 @@ class DisparityEstimationNetwork(nn.Module):
         # Grid = post-VGG spatial shape; (3, 10) at the native 96x320 input,
         # giving the reference's fc dims 15360 -> 4096 -> 1950.
         predictions.append(FeedForwardBranch(
-            grid=(features.shape[1], features.shape[2]))(features, train))
+            grid=(features.shape[1], features.shape[2]),
+            dense_dtype=self.ff_dense_dtype)(features, train))
         summed = sum(predictions)
         n_upconvs = 1 + (self.prob_volume_scale == 2)
         prob = DisparityUpconvSoftmax(n_upconvs)(summed)
@@ -190,11 +203,14 @@ class Deep3D(nn.Module):
 
     deconv_filters: Sequence[int] = (64, 128, 256, 512, 512)
     prob_volume_scale: int = 4
+    # bf16 fc matmuls for the FeedForward branch (inference wrapper sets
+    # this; see FeedForwardBranch.dense_dtype).  None = exact fp32.
+    ff_dense_dtype: Optional[Any] = None
 
     def setup(self):
         self.disparity_network = DisparityEstimationNetwork(
             self.deconv_filters, self.prob_volume_scale,
-            name="DisparityEstimationNetwork_0")
+            self.ff_dense_dtype, name="DisparityEstimationNetwork_0")
 
     def __call__(self, left_full_nchw, left_down_nchw, train: bool = False):
         if not train and _fused_blend_eligible(left_full_nchw.shape,
