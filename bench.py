@@ -177,6 +177,21 @@ def _chained_slope_fps(chain_fn, make_input, m_small: int = 8,
     return 1.0 / slope
 
 
+def _kitti_pair():
+    """The deterministic synthetic KITTI-config pair (true disparity 11)
+    used by both the headline measurement and the committed TPU golden
+    (``scripts/capture_tpu_golden.py --kitti``)."""
+    rng = np.random.default_rng(0)
+    left = np.round(rng.uniform(0, 255, (3, 384, 1280))).astype(np.float32)
+    right = np.roll(left, -11, axis=-1)
+    return left, right
+
+
+_KITTI_GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests", "golden",
+                             "kitti_synthetic_disparity_tpu.npz")
+
+
 def _classical_fps(extra: dict):
     import jax
     import jax.numpy as jnp
@@ -186,9 +201,7 @@ def _classical_fps(extra: dict):
 
     cfg = MatchingConfig(height=384, width=1280, min_disparity=0,
                          max_disparity=64)
-    rng = np.random.default_rng(0)
-    left = np.round(rng.uniform(0, 255, (3, 384, 1280))).astype(np.float32)
-    right = np.roll(left, -11, axis=-1)
+    left, right = _kitti_pair()
     ld = jax.device_put(jnp.asarray(left))
     rd = jax.device_put(jnp.asarray(right))
 
@@ -196,10 +209,37 @@ def _classical_fps(extra: dict):
         lambda l, r: compute_disparity_map(l, r, cfg), (ld, rd),
         m_small=10, m_large=110)
     # sanity: the synthetic pair has true disparity 11; the sum over the
-    # (mostly interior) map must sit near 11 * H * W.
+    # (mostly interior) map must sit near 11 * H * W.  A real raise, not
+    # ``assert`` — the gate must survive ``python -O``.
     mean_disparity = mean_sum / (384 * 1280)
-    assert 8.0 < mean_disparity < 14.0, f"sanity failed: {mean_disparity}"
+    if not 8.0 < mean_disparity < 14.0:
+        raise RuntimeError(f"classical sanity failed: mean {mean_disparity}")
     extra["tunnel_fixed_latency_ms"] = round(fixed_ms, 1)
+
+    # Semantic gate at the headline config: the committed TPU golden must
+    # match within 0.5 px on >= 99% of pixels (the same contract as the
+    # Middlebury/Pallas golden; VERDICT r3 #7).  Fps is already recorded in
+    # ``extra`` by the caller order, so a drift raises loudly without
+    # losing the measurement.
+    if os.path.exists(_KITTI_GOLDEN):
+        golden = np.load(_KITTI_GOLDEN)["disparity"]
+
+        @jax.jit
+        def frac_within(l, r, g):
+            disp = compute_disparity_map(l, r, cfg)
+            return jnp.mean((jnp.abs(disp - g.astype(jnp.float32))
+                             <= 0.5).astype(jnp.float32))
+
+        frac = float(frac_within(ld, rd, jax.device_put(golden)))
+        extra["kitti_golden_frac_within_0p5px"] = round(frac, 4)
+        if frac < 0.99:
+            # Loud in the record, but never at the cost of the JSON line
+            # (this runs in the main process, unlike the Middlebury gate).
+            extra.setdefault("job_errors", {})["kitti_golden"] = (
+                f"disparity drifted: only {frac:.4f} of pixels within "
+                f"0.5px of the committed TPU golden")
+            print(f"bench: KITTI golden gate FAILED ({frac:.4f})",
+                  file=sys.stderr)
     return fps
 
 
@@ -393,14 +433,19 @@ def main() -> None:
     # latency varies 30s..10+min; the headline must still always print).
     # Cheapest-to-compile first: the Middlebury Pallas metric compiles in
     # ~1 min and must not be starved by a pathological DNN remote compile.
+    # Each dtype pair runs adjacently (the bf16 compile right after its
+    # fp32 twin is cheap with the warm cache), so a budget squeeze starves
+    # at most the TAIL pair instead of every bf16 arm (VERDICT r3 #2);
+    # msnet2d (a secondary fp32 metric with no bf16 twin) is the
+    # sacrificial last job.
     jobs = [("middlebury", None, "float32", "middlebury_1080p_pallas_fps"),
             ("gwcnet", 6.0, "float32", "gwcnet_fps"),
-            ("msnet3d", 4.0, "float32", "msnet3d_fps"),
-            ("msnet2d", None, "float32", "msnet2d_fps"),
-            ("e2e_single_view", 30.0, "float32", "e2e_single_view_fps"),
             ("gwcnet", 6.0, "bfloat16", "gwcnet_bf16_fps"),
+            ("e2e_single_view", 30.0, "float32", "e2e_single_view_fps"),
+            ("e2e_single_view", 30.0, "bfloat16", "e2e_single_view_bf16_fps"),
+            ("msnet3d", 4.0, "float32", "msnet3d_fps"),
             ("msnet3d", 4.0, "bfloat16", "msnet3d_bf16_fps"),
-            ("e2e_single_view", 30.0, "bfloat16", "e2e_single_view_bf16_fps")]
+            ("msnet2d", None, "float32", "msnet2d_fps")]
     # Per-job cap: one pathological remote compile must not starve every
     # later metric (the persistent cache usually makes repeats fast, and a
     # killed worker still leaves its compile in the cache for next time).
