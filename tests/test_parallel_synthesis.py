@@ -70,6 +70,31 @@ class TestShardedSingleViewEngine:
         assert close >= 0.99, f"only {close:.4f} of pixels within 0.5px"
         assert float(np.mean(np.abs(out - ref))) < 0.1
 
+    def test_pipeline_dispatch_under_mesh(self, small_variables):
+        """``DepthEstimationPipeline.process_batch(left, None)`` under a
+        multi-device mesh must route through the sharded single-view
+        engine and still return the full result triple."""
+        from stereo_tpu.core.config import PipelineConfig
+        from stereo_tpu.pipeline import DepthEstimationPipeline
+        from stereo_tpu.synthesis import RightViewSynthesis
+
+        cfg = _matching_config()
+        pcfg = PipelineConfig(image_shape=(cfg.height, cfg.width),
+                              min_disparity=1, max_disparity=15,
+                              matching=cfg,
+                              mesh=MeshConfig(data=2, tile=2, disp=2))
+        rvs = RightViewSynthesis(output_shape=(cfg.height, cfg.width),
+                                 variables=small_variables,
+                                 model_full_shape=(128, 256),
+                                 model_down_shape=(32, 64))
+        pipeline = DepthEstimationPipeline(pcfg, synthesis=rvs)
+        left = np.random.default_rng(1).integers(
+            0, 256, (4, 3, cfg.height, cfg.width)).astype(np.float32)
+        result = pipeline.process_batch(left)
+        assert result.disparity_map.shape == (4, cfg.height, cfg.width)
+        assert result.right_image.shape == left.shape
+        assert pipeline._sharded_sv_engine is not None
+
     def test_batch_and_height_validation(self, small_variables):
         from stereo_tpu.parallel import ShardedSingleViewEngine
         from stereo_tpu.synthesis import RightViewSynthesis
