@@ -36,14 +36,11 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# Kernel variant selector (A/B measurement hook): 1 = VMEM-accumulator
-# row-band kernel, 2 = lane-chunked register-accumulator kernel.
-_V2_CHUNK = 256
-
-
-def _kernel_version() -> int:
-    import os
-    return int(os.environ.get("STEREO_BLEND_KERNEL", "1"))
+# Negative result, recorded so it isn't retried: a lane-chunked variant
+# holding the accumulators in vector registers (256-lane blocks, functional
+# accs, one store per finished block) measured 0.607 vs 0.622 ms/frame —
+# the VMEM accumulator traffic is NOT the kernel's bottleneck; the
+# irreducible per-plane view shift + the 65 K=18 row-interp matmuls are.
 
 
 def _round_up(v: int, m: int) -> int:
@@ -124,49 +121,6 @@ def _blend_kernel(prob_hbm, view_hbm, rmat_ref, out_ref, prob_v, view_v,
     out_ref[2] = acc[2]
 
 
-def _blend_kernel_v2(prob_hbm, view_hbm, rmat_ref, out_ref, prob_v, view_v,
-                     sems, *, num_d, tile, scale, w_pad, chunk):
-    """Lane-chunked variant: the accumulators live in VECTOR REGISTERS for
-    one (tile, chunk) column block at a time instead of VMEM.
-
-    The v1 kernel's acc scratch pays read+write VMEM traffic on every one
-    of the num_d FMAs across the full (tile, w_pad) row band — 3 channels
-    x 65 planes x 2 x 327 KB ≈ 127 MB per row tile, the dominant term of
-    its measured 0.40 ms/frame.  Chunking the lane axis bounds the live
-    accumulator at (3, tile, chunk) fp32 (48 vector registers at
-    tile=64/chunk=256), which Mosaic keeps out of VMEM; each finished
-    block stores once.  The per-plane row-interp matmul and the unaligned
-    view shift are unchanged (the shift volume is irreducible for this
-    contraction — see module docstring)."""
-    band = tile // scale + 2
-    i = pl.program_id(0)
-
-    cp_p = pltpu.make_async_copy(
-        prob_hbm.at[:, pl.ds(i * (tile // scale), prob_v.shape[1]), :],
-        prob_v, sems.at[0])
-    cp_v = pltpu.make_async_copy(
-        view_hbm.at[:, pl.ds(i * tile, tile), :], view_v, sems.at[1])
-    cp_p.start()
-    cp_v.start()
-    cp_p.wait()
-    cp_v.wait()
-
-    rmat = rmat_ref[...][:, :band]                            # (tile, band)
-    view = view_v[...]                                        # (3, tile, Va)
-
-    for c0 in range(0, w_pad, chunk):
-        acc = jnp.zeros((3, tile, chunk), jnp.float32)
-        for d in range(num_d):
-            plane = jax.lax.dot_general(
-                rmat, prob_v[d, :band, c0:c0 + chunk],
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)           # (tile, chunk)
-            vs = view[:, :, c0 + d:c0 + d + chunk]
-            acc = acc + plane[None] * vs
-        out_ref[:, :, c0:c0 + chunk] = acc
-
-
 def _upsample_rows_blend(prob_cols_up: jnp.ndarray, view: jnp.ndarray,
                          scale: int, num_d: int) -> jnp.ndarray:
     """(D, h_low, W) column-upsampled volume + (3, H, W) view -> (3, H, W).
@@ -198,26 +152,15 @@ def _upsample_rows_blend(prob_cols_up: jnp.ndarray, view: jnp.ndarray,
     rmat = jnp.asarray(np.pad(_row_interp_matrix(tile, scale),
                               ((0, 0), (0, 128 - band))))
 
-    if _kernel_version() == 2:
-        chunk = _V2_CHUNK if w_pad % _V2_CHUNK == 0 else 128
-        kernel = functools.partial(
-            _blend_kernel_v2, num_d=num_d, tile=tile, scale=scale,
-            w_pad=w_pad, chunk=chunk)
-        scratch = [
-            pltpu.VMEM((num_d, band_a, w_pad), jnp.float32),
-            pltpu.VMEM((3, tile, view_cols_a), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
-    else:
-        kernel = functools.partial(
-            _blend_kernel, num_d=num_d, tile=tile, scale=scale,
-            w=w, w_pad=w_pad, view_cols=view_cols)
-        scratch = [
-            pltpu.VMEM((num_d, band_a, w_pad), jnp.float32),
-            pltpu.VMEM((3, tile, view_cols_a), jnp.float32),
-            pltpu.VMEM((3, tile, w_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
+    kernel = functools.partial(
+        _blend_kernel, num_d=num_d, tile=tile, scale=scale,
+        w=w, w_pad=w_pad, view_cols=view_cols)
+    scratch = [
+        pltpu.VMEM((num_d, band_a, w_pad), jnp.float32),
+        pltpu.VMEM((3, tile, view_cols_a), jnp.float32),
+        pltpu.VMEM((3, tile, w_pad), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(h // tile,),
@@ -234,6 +177,28 @@ def _upsample_rows_blend(prob_cols_up: jnp.ndarray, view: jnp.ndarray,
         interpret=_interpret(),
     )(prob_pad, view_pad, rmat)
     return out[:, :, :w]
+
+
+def _column_upsample(prob: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Bilinear x``scale`` along the LAST axis via phase decomposition.
+
+    ``jax.image.resize`` lowers this to a gather that measures 0.192 ms on
+    the (1, 65, 96, 320) -> (..., 1280) volume on v5e; the same math as
+    ``scale`` interleaved 2-tap FMA phases (out[s*q + r] = a_r * P[q + o_r]
+    + b_r * P[q + o_r + 1], coordinates clamped at the borders) runs in
+    0.034 ms and matches resize to 6e-8.  Phase r samples source coordinate
+    (r + 0.5)/scale - 0.5 relative to q — the align_corners=False kernel."""
+    pm1 = jnp.concatenate([prob[..., :1], prob[..., :-1]], axis=-1)
+    pp1 = jnp.concatenate([prob[..., 1:], prob[..., -1:]], axis=-1)
+    phases = []
+    for r in range(scale):
+        s = (r + 0.5) / scale - 0.5
+        lo = int(np.floor(s))
+        frac = np.float32(s - lo)
+        src0, src1 = (pm1, prob) if lo == -1 else (prob, pp1)
+        phases.append((1.0 - frac) * src0 + frac * src1)
+    out = jnp.stack(phases, axis=-1)
+    return out.reshape(*prob.shape[:-1], scale * prob.shape[-1])
 
 
 def upsample_blend(prob_low_ndhw: jnp.ndarray, view_nchw: jnp.ndarray,
@@ -255,7 +220,7 @@ def upsample_blend(prob_low_ndhw: jnp.ndarray, view_nchw: jnp.ndarray,
 
     prob = prob_low_ndhw.astype(jnp.float32)
     view = view_nchw.astype(jnp.float32)
-    cols_up = jax.image.resize(prob, (n, num_d, h_low, w), method="bilinear")
+    cols_up = _column_upsample(prob, scale)
 
     run = functools.partial(_upsample_rows_blend, scale=scale, num_d=num_d)
     if n == 1:

@@ -124,7 +124,7 @@ class RightViewSynthesis:
                  model_full_shape: Tuple[int, int] = RVS_FULL_SHAPE,
                  model_down_shape: Tuple[int, int] = RVS_DOWNSCALED_SHAPE,
                  compute_dtype: str = "float32",
-                 ff_weights_dtype: str = "float32"):
+                 ff_weights_dtype: str = "bfloat16"):
         self.output_shape = tuple(output_shape)
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.ff_weights_dtype = jnp.dtype(ff_weights_dtype)
