@@ -36,11 +36,16 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# Negative result, recorded so it isn't retried: a lane-chunked variant
-# holding the accumulators in vector registers (256-lane blocks, functional
-# accs, one store per finished block) measured 0.607 vs 0.622 ms/frame —
-# the VMEM accumulator traffic is NOT the kernel's bottleneck; the
-# irreducible per-plane view shift + the 65 K=18 row-interp matmuls are.
+# Negative results, recorded so they aren't retried (v5e, 384x1280/D=65):
+# * lane-chunked register accumulators (256-lane blocks, functional accs,
+#   one store per finished block): 0.607 vs 0.622 ms/frame — the VMEM
+#   accumulator traffic is NOT the kernel's bottleneck; the irreducible
+#   per-plane view shift + the 65 K=18 row-interp matmuls are.
+# * moving the column upsample INTO the kernel as a per-plane MXU matmul
+#   (K=w_low, fp32-HIGHEST) to empty the XLA side entirely: 0.824 vs
+#   0.513 ms — the extra 65 x (band, w_low)@(w_low, w) contractions do
+#   not overlap the FMA stream.  The phase-interleave XLA column upsample
+#   (``_column_upsample``) is the best known split.
 
 
 def _round_up(v: int, m: int) -> int:
@@ -220,8 +225,8 @@ def upsample_blend(prob_low_ndhw: jnp.ndarray, view_nchw: jnp.ndarray,
 
     prob = prob_low_ndhw.astype(jnp.float32)
     view = view_nchw.astype(jnp.float32)
-    cols_up = _column_upsample(prob, scale)
 
+    cols_up = _column_upsample(prob, scale)
     run = functools.partial(_upsample_rows_blend, scale=scale, num_d=num_d)
     if n == 1:
         return run(cols_up[0], view[0])[None]
