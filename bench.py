@@ -338,21 +338,24 @@ def _e2e_single_view_fps(compute_dtype: str = "float32"):
     variables = jax.device_put(rvs.variables)
 
     if rvs.split_inference:
-        # Production TPU path: THREE chained executables — the pure-XLA
-        # Deep3D net, the Pallas blend tail, the Pallas classical matcher.
-        # Keeping the net free of Mosaic calls preserves XLA's latency
-        # hiding (~1.2 ms/frame recovered vs the old single module; see
-        # right_view_synthesis.py).  Measured with the dispatch-slope
+        # Production TPU path (pipeline/single_view.py): TWO chained
+        # executables — the pure-XLA Deep3D net (Mosaic-free so XLA keeps
+        # its latency hiding; see right_view_synthesis.py), then ONE merged
+        # Pallas blend-tail + Pallas matcher executable.  The old
+        # 3-executable chain measured 124-240 FPS with wild per-dispatch
+        # scheduling variance; the merged chain is ~235 FPS and stable
+        # (scripts/exp_chain_merge.py).  Measured with the dispatch-slope
         # protocol since the chain crosses executables.
-        match = jax.jit(
-            lambda l, r: compute_disparity_map(l, r, cfg))
+        from stereo_tpu.pipeline.single_view import FusedSingleViewEngine
+
+        engine = FusedSingleViewEngine(cfg, rvs)
         perturb = jax.jit(lambda i: jnp.clip(
             ld + i * jnp.float32(1e-3), 0.0, 255.0))
 
         def chain(left_dev):
-            prob_low, full01 = rvs._fn_net(variables, left_dev[None])
-            right = rvs._fn_tail(prob_low, full01)[0]
-            return match(left_dev, right)
+            left = left_dev[None]
+            prob_low, full01 = engine._fn_net(variables, left)
+            return engine._fn_tail_match(prob_low, full01, left)[0]
 
         return _chained_slope_fps(
             chain, lambda i: perturb(jnp.float32(i)))

@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 
 from ..core.config import PipelineConfig
 from ..utils.profiling import StageTimer, perf_clock
@@ -66,6 +67,25 @@ class DepthEstimationPipeline:
     def process(self, left_image, right_image=None) -> DepthEstimationResult:
         """One frame: (3, H, W) float RGB (0..255) -> disparity (H, W)."""
         cfg = self._config
+        if right_image is None and self._fused_single_view() is not None:
+            # TPU fast path: Deep3D net + ONE merged (blend tail + matcher)
+            # executable — two dispatches per frame instead of three
+            # (``pipeline/single_view.py``).  The merged executable spans
+            # both logical stages, so its wall time is attributed to
+            # "stereo_matching" (the blend tail is ~0.4 of its ~1.9 ms).
+            engine = self._fused_single_view()
+            with self._timer.stage("right_view_generation"):
+                with perf_clock("Right view generation", cfg.log_perf_time):
+                    left = jnp.asarray(left_image, jnp.float32)[None]
+                    prob_low, full01 = engine._fn_net(
+                        engine.synthesis.variables, left)
+            with self._timer.stage("stereo_matching"):
+                with perf_clock("Stereo matching", cfg.log_perf_time):
+                    disparity, right = engine._fn_tail_match(prob_low,
+                                                             full01, left)
+            return DepthEstimationResult(left_image=left_image,
+                                         right_image=right[0],
+                                         disparity_map=disparity[0])
         with self._timer.stage("right_view_generation"):
             with perf_clock("Right view generation", cfg.log_perf_time):
                 if right_image is None:
@@ -92,6 +112,12 @@ class DepthEstimationPipeline:
                 and cfg.stereo_matching_backend in ("classical", "cuda")):
             disparity, right_batch = self._sharded_single_view().process_batch(
                 left_batch, return_right=True)
+            return DepthEstimationResult(left_image=left_batch,
+                                         right_image=right_batch,
+                                         disparity_map=disparity)
+        if right_batch is None and self._fused_single_view() is not None:
+            disparity, right_batch = self._fused_single_view().process_batch(
+                left_batch)
             return DepthEstimationResult(left_image=left_batch,
                                          right_image=right_batch,
                                          disparity_map=disparity)
@@ -139,6 +165,24 @@ class DepthEstimationPipeline:
                 compute_dtype=self._config.compute_dtype,
                 checkpoint_dir=self._config.rvs_checkpoint)
         return self._right_view_synthesis
+
+    def _fused_single_view(self):
+        """The merged tail+matcher engine for the single-device classical
+        single-view path, or ``None`` when ineligible (non-classical
+        backend, multi-device mesh, or no TPU split inference)."""
+        if getattr(self, "_fused_sv_engine", None) is not None:
+            return self._fused_sv_engine
+        cfg = self._config
+        if cfg.stereo_matching_backend not in ("classical", "cuda"):
+            return None
+        if cfg.mesh is not None and cfg.mesh.num_devices > 1:
+            return None
+        if not self._synthesis().split_inference:
+            return None
+        from .single_view import FusedSingleViewEngine
+        self._fused_sv_engine = FusedSingleViewEngine(
+            cfg.matching_config(), self._synthesis())
+        return self._fused_sv_engine
 
     def _sharded_single_view(self):
         if getattr(self, "_sharded_sv_engine", None) is None:

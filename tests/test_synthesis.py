@@ -128,3 +128,65 @@ class TestSplitInference:
             prob_low, full01, scale=4, output_shape=(48, 96),
             full_shape=(128, 256)))
         np.testing.assert_allclose(split, single, atol=0.05)
+
+
+class TestFusedSingleViewEngine:
+    def test_matches_unfused_composition(self, small_variables):
+        """The merged tail+matcher executable (``pipeline/single_view.py``)
+        must compute the same right view as the synthesis wrapper and the
+        same disparity as the standalone classical engine run on that
+        right view (two dispatches vs three is the only difference)."""
+        from stereo_tpu.core.config import MatchingConfig
+        from stereo_tpu.matching.classical import ClassicalStereoEngine
+        from stereo_tpu.pipeline.single_view import FusedSingleViewEngine
+
+        cfg = MatchingConfig(height=48, width=96, downscale_factor=2,
+                             min_disparity=0, max_disparity=15,
+                             cost_patch_radius=1, sad_patch_radius=2,
+                             threshold=5, small_mbm_radius=1,
+                             mid_mbm_radius=1, large_mbm_radius=2)
+        rvs = RightViewSynthesis(output_shape=(48, 96),
+                                 variables=small_variables,
+                                 model_full_shape=(128, 256),
+                                 model_down_shape=(32, 64))
+        engine = FusedSingleViewEngine(cfg, rvs)
+        left = np.random.default_rng(7).integers(
+            0, 256, (2, 3, 48, 96)).astype(np.float32)
+
+        disparity, right = engine.process_batch(left)
+        assert disparity.shape == (2, 48, 96)
+        assert right.shape == (2, 3, 48, 96)
+
+        # Right view: the engine's tail is the interpret-mode Pallas blend;
+        # the wrapper's CPU path is the explicit composition (same 0.05
+        # envelope as TestSplitInference).
+        right_ref = np.asarray(rvs.process_batch(left))
+        np.testing.assert_allclose(np.asarray(right), right_ref, atol=0.05)
+
+        # Disparity: re-run the standalone matcher on the engine's OWN
+        # right view — the merged graph must match it exactly (identical
+        # matcher stages, only the executable boundary differs).
+        disp_ref = ClassicalStereoEngine(cfg).compute_disparity_maps(
+            left, np.asarray(right))
+        np.testing.assert_allclose(np.asarray(disparity),
+                                   np.asarray(disp_ref), atol=1e-5)
+
+    def test_single_frame_process(self, small_variables):
+        from stereo_tpu.core.config import MatchingConfig
+        from stereo_tpu.pipeline.single_view import FusedSingleViewEngine
+
+        cfg = MatchingConfig(height=48, width=96, downscale_factor=2,
+                             min_disparity=0, max_disparity=15,
+                             cost_patch_radius=1, sad_patch_radius=2,
+                             threshold=5, small_mbm_radius=1,
+                             mid_mbm_radius=1, large_mbm_radius=2)
+        rvs = RightViewSynthesis(output_shape=(48, 96),
+                                 variables=small_variables,
+                                 model_full_shape=(128, 256),
+                                 model_down_shape=(32, 64))
+        engine = FusedSingleViewEngine(cfg, rvs)
+        left = np.random.default_rng(8).integers(
+            0, 256, (3, 48, 96)).astype(np.float32)
+        disparity, right = engine.process(left)
+        assert disparity.shape == (48, 96)
+        assert right.shape == (3, 48, 96)
