@@ -375,6 +375,37 @@ def _e2e_single_view_fps(compute_dtype: str = "float32"):
     return _single_m_fps(frame, (ld, variables), m=50)
 
 
+def _e2e_one_module_fps():
+    """The single-view scenario as ONE jitted module (synthesize_batch +
+    classical matcher), timed with the in-graph marginal protocol — see the
+    worker's comment for how this relates to the primary chain metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_tpu.core.config import MatchingConfig
+    from stereo_tpu.matching.classical import compute_disparity_map
+    from stereo_tpu.synthesis.right_view_synthesis import (RightViewSynthesis,
+                                                           synthesize_batch)
+
+    cfg = MatchingConfig(height=384, width=1280, min_disparity=0,
+                         max_disparity=64)
+    rvs = RightViewSynthesis(output_shape=(384, 1280))
+    rng = np.random.default_rng(2)
+    left = np.round(rng.uniform(0, 255, (3, 384, 1280))).astype(np.float32)
+    ld = jax.device_put(jnp.asarray(left))
+    variables = jax.device_put(rvs.variables)
+
+    def frame(l, v):
+        right = synthesize_batch(rvs.model, v, l[None],
+                                 output_shape=(384, 1280),
+                                 full_shape=rvs.model_full_shape,
+                                 down_shape=rvs.model_down_shape)[0]
+        return compute_disparity_map(l, right, cfg)
+
+    fps, _, _ = _marginal_fps(frame, (ld, variables), m_small=8, m_large=40)
+    return fps
+
+
 def _dnn_fps(model_name: str, extra: dict, compute_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
@@ -417,6 +448,20 @@ def _worker(job: str, dtype: str) -> None:
     elif job == "e2e_single_view":
         print("WORKER_FPS", _e2e_single_view_fps(compute_dtype=dtype),
               flush=True)
+        if dtype == "float32":
+            # Secondary evidence, printed AFTER the headline so a job-cap
+            # kill during its extra compile never loses the primary number:
+            # the one-module composition timed IN-GRAPH (lax.map over M
+            # frames, single dispatch — the same amortized protocol the DNN
+            # metrics use).  This is the chip's sustained device throughput
+            # with the tunnel's ~0.3 ms/execution serialization amortized
+            # out; the primary chain number keeps that overhead (it is real
+            # per-frame cost on this transport).  The 2-executable chain
+            # has LOWER device time (~2.9 vs ~3.3 ms — the one-module graph
+            # pays the Mosaic co-compile penalty) but cannot be measured
+            # in-graph because it crosses executables.
+            print("WORKER_EXTRA e2e_single_view_device_fps",
+                  _e2e_one_module_fps(), flush=True)
     else:
         print("WORKER_FPS", _dnn_fps(job, {}, compute_dtype=dtype), flush=True)
 
@@ -459,6 +504,9 @@ def main() -> None:
             if line.startswith("WORKER_GOLDEN_FRAC"):
                 extra["pallas_golden_frac_within_0p5px"] = round(
                     float(line.split()[1]), 4)
+            elif line.startswith("WORKER_EXTRA"):
+                _, k, v = line.split()
+                extra[k] = round(float(v), 2)
             elif line.startswith("WORKER_FPS"):
                 fps = float(line.split()[1])
                 extra[key] = round(fps, 2)
