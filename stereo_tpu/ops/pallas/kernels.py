@@ -322,15 +322,19 @@ def _sampled_window_kernel(lg_hbm, rg_hbm, didx_ref, win_ref, lg_v, rg_v,
     d_idx = didx_ref[...].astype(jnp.int32)      # (tile, w_d)
     lg = lg_v[...]                               # (k, band_a, wl_pad)
 
-    # Stride-k ROW sampling via a 0/1 selection matmul (Mosaic has no
-    # strided slices); the k*tile -> tile compression is tiny on the MXU.
+    # ROW box + stride-k row sampling as ONE banded 0/1 matmul (Mosaic has
+    # no strided slices): output row x sums band rows [k*x, k*x + 2r] —
+    # (tile, band) @ (band, w) on the MXU replaces the 2r+1 shifted VPU
+    # adds plus the separate row-selection matmul.  Exact for the suite's
+    # integer-valued images (every partial sum is fp32-representable);
+    # float ties on hardware are covered by the 0.5 px golden gates.
     # LANE sampling needs no matmul at all: the wrapper pre-splits both
     # images into their k column phases, so every lane here is already on
     # the downscaled stride-k grid.
-    sel_rows = (jax.lax.broadcasted_iota(
-        jnp.int32, (tile_rows, k * tile_rows), 1)
-        == k * jax.lax.broadcasted_iota(
-            jnp.int32, (tile_rows, k * tile_rows), 0)).astype(jnp.float32)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, band_rows), 1)
+    row_x = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, band_rows), 0)
+    box_rows = ((row_i >= k * row_x)
+                & (row_i <= k * row_x + 2 * sad_r)).astype(jnp.float32)
 
     for s2 in range(win):
         acc[s2] = jnp.zeros((tile_rows, w_d), jnp.float32)
@@ -345,8 +349,7 @@ def _sampled_window_kernel(lg_hbm, rg_hbm, didx_ref, win_ref, lg_v, rg_v,
             p2, off = offs[tt][p]
             diff = jnp.abs(lg[p, :band_rows, :w_phase_l]
                            - rg_all[p2, :band_rows, off:off + w_phase_l])
-            rows = _box_sublanes(diff, sad_r)    # (k*tile, w_phase_l)
-            compressed.append(jnp.dot(sel_rows, rows,
+            compressed.append(jnp.dot(box_rows, diff,
                                       preferred_element_type=jnp.float32))
         # Lane box at the sampled centers: tap dc lives in phase dc mod k
         # at phase-column offset floor(dc/k).  Accumulated in dc order
