@@ -167,12 +167,12 @@ def main() -> None:
     # Projection against the measured single-chip frame time: the sharded
     # engine's whole per-device traffic at ~1.35-1.8 MB/frame rides ICI in
     # tens of microseconds, two orders of magnitude under the ~1.5 ms
-    # compute (BENCH_r03: 658.9 FPS fp32) — the ICI budget supports the
-    # >=80% multi-chip scaling target with large margin even at 10% of
+    # compute (r04: ~1133 FPS fp32 single-chip) — the ICI budget supports
+    # the >=80% multi-chip scaling target with large margin even at 10% of
     # nominal link bandwidth.
     ici_gbps = 100.0     # conservative per-device ICI bandwidth (v5e
     # nominal is ~400 GB/s aggregate across links)
-    frame_ms = 1000.0 / 658.9
+    frame_ms = 1000.0 / 1133.0
     worst_sent = max((r.get("per_device_est_sent_bytes_per_frame", 0)
                       for r in records), default=0)
     comm_us = worst_sent / (ici_gbps * 1e3)
@@ -187,7 +187,7 @@ def main() -> None:
             "worst_mesh_comm_us_per_frame": round(comm_us, 1),
             "comm_to_compute_ratio": round(comm_us / (frame_ms * 1e3), 4),
             "note": "supports the >=80% scaling-efficiency target: comm is "
-                    "<2% of compute even at a 4x-derated ICI assumption",
+                    "~2% of compute even at a 4x-derated ICI assumption",
         },
         "records": records,
     }
