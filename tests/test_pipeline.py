@@ -319,3 +319,75 @@ class TestRunnerErrorPaths:
         with pytest.raises(RuntimeError, match="Mixed batch"):
             run_depth_estimation_pipeline_batched(cam, self._pipeline(),
                                                   batch_size=2)
+
+
+class TestFusedSingleViewRouting:
+    """The TPU fast path (``pipeline/single_view.py``) is gated on
+    ``synthesis.split_inference`` (TPU-only); forcing the flag on CPU runs
+    the merged executable with interpret-mode Pallas and exercises the
+    pipeline's routing + stage timing."""
+
+    def _small_rvs(self, split):
+        import jax
+
+        from stereo_tpu.models import Deep3D
+        from stereo_tpu.synthesis import RightViewSynthesis
+
+        full = np.zeros((1, 3, 128, 256), np.float32)
+        down = np.zeros((1, 3, 32, 64), np.float32)
+        variables = Deep3D().init(jax.random.PRNGKey(0), full, down,
+                                  train=False)
+        rvs = RightViewSynthesis(output_shape=(48, 96), variables=variables,
+                                 model_full_shape=(128, 256),
+                                 model_down_shape=(32, 64))
+        rvs.split_inference = split
+        return rvs
+
+    def _config(self):
+        small = MatchingConfig(height=48, width=96, downscale_factor=2,
+                               min_disparity=0, max_disparity=15,
+                               cost_patch_radius=1, sad_patch_radius=2,
+                               threshold=5, small_mbm_radius=1,
+                               mid_mbm_radius=1, large_mbm_radius=2)
+        return PipelineConfig(image_shape=(48, 96), min_disparity=0,
+                              max_disparity=15, matching=small,
+                              stereo_matching_backend="classical")
+
+    def test_process_routes_through_fused_engine(self):
+        pipe = DepthEstimationPipeline(self._config(),
+                                       synthesis=self._small_rvs(True))
+        left = np.random.default_rng(3).integers(
+            0, 256, (3, 48, 96)).astype(np.float32)
+        res = pipe.process(left)
+        engine = getattr(pipe, "_fused_sv_engine", None)
+        assert engine is not None, "fused path did not activate"
+        assert res.disparity_map.shape == (48, 96)
+        assert res.right_image.shape == (3, 48, 96)
+        # identical to the engine called directly
+        disp, right = engine.process(left)
+        np.testing.assert_array_equal(np.asarray(res.disparity_map),
+                                      np.asarray(disp))
+        np.testing.assert_array_equal(np.asarray(res.right_image),
+                                      np.asarray(right))
+        # both logical stages got timed
+        times = pipe.stage_times()
+        assert set(times) >= {"right_view_generation", "stereo_matching"}
+
+    def test_split_off_keeps_classic_route(self):
+        pipe = DepthEstimationPipeline(self._config(),
+                                       synthesis=self._small_rvs(False))
+        left = np.random.default_rng(4).integers(
+            0, 256, (3, 48, 96)).astype(np.float32)
+        res = pipe.process(left)
+        assert getattr(pipe, "_fused_sv_engine", None) is None
+        assert res.disparity_map.shape == (48, 96)
+
+    def test_process_batch_routes_through_fused_engine(self):
+        pipe = DepthEstimationPipeline(self._config(),
+                                       synthesis=self._small_rvs(True))
+        left = np.random.default_rng(5).integers(
+            0, 256, (2, 3, 48, 96)).astype(np.float32)
+        res = pipe.process_batch(left)
+        assert getattr(pipe, "_fused_sv_engine", None) is not None
+        assert res.disparity_map.shape == (2, 48, 96)
+        assert res.right_image.shape == (2, 3, 48, 96)
