@@ -36,7 +36,15 @@ def main() -> None:
     parser.add_argument("--n-frames", type=int, default=8,
                         help="synthetic mode: frames per evaluation")
     parser.add_argument("--image-shape", nargs=2, type=int,
-                        default=[256, 512], help="synthetic mode: (H, W)")
+                        default=[384, 1280],
+                        help="synthetic mode: (H, W).  Default is the "
+                             "reference's native KITTI operating point — "
+                             "evaluating a native-resolution Deep3D "
+                             "checkpoint at a SMALLER shape silently "
+                             "compresses its expressible disparity range "
+                             "(65 shift channels cover only 64 * W_eval / "
+                             "W_model px after the wrapper resize) and "
+                             "reads as catastrophic rvs_on D1")
     parser.add_argument("--seed", type=int, default=20260817,
                         help="synthetic mode: held-out scene seed")
     parser.add_argument("--backends", nargs="+",

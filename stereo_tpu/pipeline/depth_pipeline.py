@@ -164,6 +164,26 @@ class DepthEstimationPipeline:
                 output_shape=self._config.image_shape,
                 compute_dtype=self._config.compute_dtype,
                 checkpoint_dir=self._config.rvs_checkpoint)
+            # Disparity-coverage guard: the synthesized view is blended at
+            # the MODEL's native width from 65 shift channels, then resized
+            # to the pipeline shape — at output scale it can express at
+            # most 64 * W_out / W_model px of disparity.  Asking the
+            # matcher for more than that reads as a catastrophic rvs_on
+            # accuracy collapse with no error anywhere (the r4 root cause
+            # of an unreproducible r3 eval record).
+            from ..models.deep3d import NUM_DISPARITY_CHANNELS
+            w_model = self._right_view_synthesis.model_full_shape[1]
+            coverage = (NUM_DISPARITY_CHANNELS - 1) * (
+                self._config.image_shape[1] / w_model)
+            if self._config.max_disparity > coverage + 0.5:
+                import warnings
+                warnings.warn(
+                    f"single-view pipeline at {self._config.image_shape} "
+                    f"asks for disparities up to {self._config.max_disparity}"
+                    f" but the {w_model}-wide Deep3D checkpoint can "
+                    f"synthesize at most ~{coverage:.0f} px at this output "
+                    f"scale; evaluate at the model's native shape",
+                    stacklevel=3)
         return self._right_view_synthesis
 
     def _fused_single_view(self):

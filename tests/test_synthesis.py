@@ -190,3 +190,39 @@ class TestFusedSingleViewEngine:
         disparity, right = engine.process(left)
         assert disparity.shape == (48, 96)
         assert right.shape == (3, 48, 96)
+
+
+class TestCommittedCheckpointQuality:
+    def test_committed_deep3d_synthesizes_at_native_point(self):
+        """The COMMITTED Deep3D weights must synthesize well AT THEIR
+        NATIVE OPERATING POINT (384x1280, disparities 0..64): L1 vs the
+        true right view far below what a garbage volume produces (~30+
+        gray levels).  Guards the checkpoint AND the protocol: evaluating
+        a native checkpoint at a smaller eval shape silently compresses
+        its expressible disparity range (65 shift channels cover only
+        64 * W_eval / W_model px after the wrapper resize) — the r4 finding
+        that made the r3 eval record unreproducible at the eval script's
+        old 256x512 default."""
+        import jax
+
+        from stereo_tpu.core.config import MatchingConfig
+        from stereo_tpu.matching.classical import ClassicalStereoEngine
+        from stereo_tpu.train.synthetic import synthetic_stereo_batch
+
+        left_b, _, gt_b = synthetic_stereo_batch(
+            jax.random.PRNGKey(20260817), 1, 384, 1280, depth_prior=True)
+        left = np.asarray(left_b[0])
+        gt = np.asarray(gt_b[0])
+        rvs = RightViewSynthesis(output_shape=(384, 1280))
+        assert tuple(rvs.model_full_shape) == (384, 1280), \
+            "committed checkpoint is no longer native 384x1280"
+        right = np.asarray(rvs.process(left))
+        cfg = MatchingConfig(height=384, width=1280, min_disparity=0,
+                             max_disparity=64)
+        disp = np.asarray(ClassicalStereoEngine(cfg).compute_disparity_map(
+            left, right))
+        mask = (gt > 0) & (gt <= 64)
+        d1 = float((np.abs(disp - gt)[mask] > 3.0).mean())
+        # committed native checkpoint measures ~0.47 here; an untrained
+        # model ~0.9+.  Gate well between.
+        assert d1 < 0.7, f"committed Deep3D single-view D1 {d1:.3f} >= 0.7"
