@@ -13,13 +13,14 @@ part (occluded-in-left content that the warp necessarily fills with the
 occluder's texture).
 
 Same protocol as the committed evaluation (``results/evaluation/
-evaluation_2026-08-19_14-31-44.json``): held-out depth-prior scenes, seed
-20260817, 8 frames at 256x512, metrics masked to ``0 < gt <= 64``.
+evaluation_r04_native_protocol.json``): held-out depth-prior scenes, seed
+20260817, 8 frames at the native 384x1280 operating point, metrics masked
+to ``0 < gt <= 64``.
 
 Writes ``results/evaluation/single_view_floor_r04.json`` with
 (floor, current, gap) per backend.
 
-Usage: JAX_PLATFORMS=cpu python scripts/single_view_floor.py
+Usage: python scripts/single_view_floor.py   (TPU; CPU works too)
 """
 
 from __future__ import annotations
@@ -40,8 +41,8 @@ enable_persistent_cache()
 
 SEED = 20260817
 N_FRAMES = 8
-H, W = 256, 512
-CURRENT_RECORD = "results/evaluation/evaluation_2026-08-19_14-31-44.json"
+H, W = 384, 1280
+CURRENT_RECORD = "results/evaluation/evaluation_r04_native_protocol.json"
 
 
 def oracle_right_view(left_chw: jnp.ndarray, d_right: jnp.ndarray):
