@@ -165,7 +165,7 @@ def run_batch_mode(args) -> dict:
     engine = ClassicalStereoEngine(_make_config(args))
     results = {}
     base_fps = None
-    for batch in (1, 2, 4, 8):
+    for batch in (1, 2, 4, 8, 16, 32):
         left = rng.integers(0, 256, (batch, 3, args.height,
                                      args.width)).astype(np.float32)
         right = np.roll(left, -4, axis=-1)
