@@ -33,8 +33,14 @@ import time
 
 import numpy as np
 
+# COMMITTED seed cache: the driver's end-of-round run starts from a fresh
+# checkout, and cold remote compiles (msnet3d alone can eat 10 minutes)
+# starved 3-4 secondary keys out of the 540 s budget in r3 and in an r4
+# cold rehearsal.  ~100 MB of compiled executables for the exact bench
+# programs makes every driver run warm; a cache miss (new jaxlib, changed
+# program) falls back to compiling exactly as before.
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          ".jax_bench_cache")
+                          "bench_cache")
 
 
 def _enable_compile_cache() -> None:
@@ -431,39 +437,53 @@ def _dnn_fps(model_name: str, extra: dict, compute_dtype: str = "float32"):
                          (x, x, params), m=50)
 
 
-def _worker(job: str, dtype: str) -> None:
-    """Subprocess entry: measure one metric, print one number."""
+def _metric_key(job: str, dtype: str) -> str:
+    base = ("e2e_single_view" if job == "e2e_single_view"
+            else "middlebury_1080p_pallas" if job == "middlebury" else job)
+    suffix = "_bf16_fps" if dtype == "bfloat16" else "_fps"
+    return base + suffix
+
+
+def _worker(job: str, dtypes_csv: str) -> None:
+    """Subprocess entry: measure one metric FAMILY (all its dtype arms in
+    one process — jax/tunnel init and model construction are shared, which
+    matters for the driver's wall budget), printing one keyed line per
+    arm."""
     _enable_compile_cache()
-    if job == "middlebury":
-        # fps FIRST (the headline Pallas evidence), gate second: a job-cap
-        # kill during the gate's extra compile then still leaves the fps in
-        # the record (main parses partial stdout on timeout).
-        print("WORKER_FPS", _middlebury_fps(), flush=True)
-        golden_frac = _middlebury_golden_frac()
-        if golden_frac is not None:
-            print("WORKER_GOLDEN_FRAC", golden_frac, flush=True)
-            assert golden_frac >= 0.99, (
-                f"Pallas demo disparity drifted: only {golden_frac:.4f} of "
-                f"pixels within 0.5px of the committed TPU golden")
-    elif job == "e2e_single_view":
-        print("WORKER_FPS", _e2e_single_view_fps(compute_dtype=dtype),
-              flush=True)
-        if dtype == "float32":
-            # Secondary evidence, printed AFTER the headline so a job-cap
-            # kill during its extra compile never loses the primary number:
-            # the one-module composition timed IN-GRAPH (lax.map over M
-            # frames, single dispatch — the same amortized protocol the DNN
-            # metrics use).  This is the chip's sustained device throughput
-            # with the tunnel's ~0.3 ms/execution serialization amortized
-            # out; the primary chain number keeps that overhead (it is real
-            # per-frame cost on this transport).  The 2-executable chain
-            # has LOWER device time (~2.9 vs ~3.3 ms — the one-module graph
-            # pays the Mosaic co-compile penalty) but cannot be measured
-            # in-graph because it crosses executables.
-            print("WORKER_EXTRA e2e_single_view_device_fps",
-                  _e2e_one_module_fps(), flush=True)
-    else:
-        print("WORKER_FPS", _dnn_fps(job, {}, compute_dtype=dtype), flush=True)
+    for dtype in dtypes_csv.split(","):
+        key = _metric_key(job, dtype)
+        if job == "middlebury":
+            # fps FIRST (the headline Pallas evidence), gate second: a
+            # job-cap kill during the gate's extra compile then still
+            # leaves the fps in the record (main parses partial stdout).
+            print("WORKER_KEY", key, _middlebury_fps(), flush=True)
+            golden_frac = _middlebury_golden_frac()
+            if golden_frac is not None:
+                print("WORKER_GOLDEN_FRAC", golden_frac, flush=True)
+                assert golden_frac >= 0.99, (
+                    f"Pallas demo disparity drifted: only {golden_frac:.4f} "
+                    f"of pixels within 0.5px of the committed TPU golden")
+        elif job == "e2e_single_view":
+            print("WORKER_KEY", key,
+                  _e2e_single_view_fps(compute_dtype=dtype), flush=True)
+            if dtype == "float32":
+                # Secondary evidence, printed AFTER the primary so a kill
+                # during its extra compile never loses that number: the
+                # one-module composition timed IN-GRAPH (lax.map over M
+                # frames, single dispatch — the same amortized protocol the
+                # DNN metrics use).  This is the chip's sustained device
+                # throughput with the tunnel's ~0.3 ms/execution
+                # serialization amortized out; the primary chain number
+                # keeps that overhead (real per-frame cost on this
+                # transport).  The 2-executable chain has LOWER device time
+                # (~2.9 vs ~3.3 ms — the one-module graph pays the Mosaic
+                # co-compile penalty) but cannot be measured in-graph
+                # because it crosses executables.
+                print("WORKER_KEY e2e_single_view_device_fps",
+                      _e2e_one_module_fps(), flush=True)
+        else:
+            print("WORKER_KEY", key,
+                  _dnn_fps(job, {}, compute_dtype=dtype), flush=True)
 
 
 def main() -> None:
@@ -472,61 +492,62 @@ def main() -> None:
     _enable_compile_cache()
     start = time.perf_counter()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 540))
-    # The classical headline (compile ~10-40s + ~30s measurement) always gets
-    # this reserved tail; everything before it is killable.
-    classical_reserve_s = 150.0
+    # The classical headline (compile cached in bench_cache/ + ~30s
+    # measurement) always gets this reserved tail; everything before it is
+    # killable.
+    classical_reserve_s = 120.0
     extra: dict = {}
 
     # Secondary metrics FIRST, in killable subprocesses (remote-compile
     # latency varies 30s..10+min; the headline must still always print).
     # Cheapest-to-compile first: the Middlebury Pallas metric compiles in
     # ~1 min and must not be starved by a pathological DNN remote compile.
-    # Each dtype pair runs adjacently (the bf16 compile right after its
-    # fp32 twin is cheap with the warm cache), so a budget squeeze starves
-    # at most the TAIL pair instead of every bf16 arm (VERDICT r3 #2);
-    # msnet2d (a secondary fp32 metric with no bf16 twin) is the
+    # One subprocess per metric FAMILY — both dtype arms share jax/tunnel
+    # init and model construction (measured ~15-25 s per process), and the
+    # fp32 arm prints before the bf16 arm compiles, so a cap kill loses at
+    # most the second arm (VERDICT r3 #2); msnet2d (a secondary fp32
+    # metric with no bf16 twin and no reference baseline) is the
     # sacrificial last job.
-    jobs = [("middlebury", None, "float32", "middlebury_1080p_pallas_fps"),
-            ("gwcnet", 6.0, "float32", "gwcnet_fps"),
-            ("gwcnet", 6.0, "bfloat16", "gwcnet_bf16_fps"),
-            ("e2e_single_view", 30.0, "float32", "e2e_single_view_fps"),
-            ("e2e_single_view", 30.0, "bfloat16", "e2e_single_view_bf16_fps"),
-            ("msnet3d", 4.0, "float32", "msnet3d_fps"),
-            ("msnet3d", 4.0, "bfloat16", "msnet3d_bf16_fps"),
-            ("msnet2d", None, "float32", "msnet2d_fps")]
+    jobs = [("middlebury", ["float32"]),
+            ("gwcnet", ["float32", "bfloat16"]),
+            ("e2e_single_view", ["float32", "bfloat16"]),
+            ("msnet3d", ["float32", "bfloat16"]),
+            ("msnet2d", ["float32"])]
+    baselines = {"gwcnet_fps": ("gwcnet", 6.0),
+                 "e2e_single_view_fps": ("e2e_single_view", 30.0),
+                 "msnet3d_fps": ("msnet3d", 4.0)}
     # Per-job cap: one pathological remote compile must not starve every
-    # later metric (the persistent cache usually makes repeats fast, and a
-    # killed worker still leaves its compile in the cache for next time).
-    job_cap_s = float(os.environ.get("BENCH_JOB_CAP_S", 240))
+    # later metric (the committed bench_cache/ makes driver runs warm, and
+    # a killed worker still leaves its compile in the cache for next time).
+    job_cap_s = float(os.environ.get("BENCH_JOB_CAP_S", 270))
 
-    def harvest(stdout: str, name: str, baseline, dtype: str, key: str):
+    def harvest(stdout: str):
         for line in (stdout or "").splitlines():
             if line.startswith("WORKER_GOLDEN_FRAC"):
                 extra["pallas_golden_frac_within_0p5px"] = round(
                     float(line.split()[1]), 4)
-            elif line.startswith("WORKER_EXTRA"):
+            elif line.startswith("WORKER_KEY"):
                 _, k, v = line.split()
                 extra[k] = round(float(v), 2)
-            elif line.startswith("WORKER_FPS"):
-                fps = float(line.split()[1])
-                extra[key] = round(fps, 2)
-                if baseline is not None and dtype == "float32":
-                    extra[f"{name}_vs_baseline"] = round(fps / baseline, 2)
+                if k in baselines:
+                    name, base = baselines[k]
+                    extra[f"{name}_vs_baseline"] = round(float(v) / base, 2)
 
-    for name, baseline, dtype, key in jobs:
+    for name, dtypes in jobs:
+        keys = ", ".join(_metric_key(name, d) for d in dtypes)
         remaining = min(job_cap_s,
                         budget_s - (time.perf_counter() - start)
                         - classical_reserve_s)
-        if remaining < 90:
-            print(f"bench: skipping {key} (wall budget)", file=sys.stderr)
+        if remaining < 45:
+            print(f"bench: skipping {keys} (wall budget)", file=sys.stderr)
             continue
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
-                 name, dtype],
+                 name, ",".join(dtypes)],
                 capture_output=True, text=True, timeout=remaining,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
-            harvest(proc.stdout, name, baseline, dtype, key)
+            harvest(proc.stdout)
             if proc.returncode != 0:
                 # A worker crash must be LOUD in the record, not a silently
                 # absent key: the middlebury worker's exit-1 is the Pallas
@@ -535,21 +556,20 @@ def main() -> None:
                 # but carry the evidence.
                 tail = [ln for ln in proc.stderr.strip().splitlines()
                         if ln and "WARNING" not in ln][-3:]
-                extra.setdefault("job_errors", {})[key] = " | ".join(tail)
-                print(f"bench: {key} worker exited {proc.returncode}:",
+                extra.setdefault("job_errors", {})[keys] = " | ".join(tail)
+                print(f"bench: {keys} worker exited {proc.returncode}:",
                       file=sys.stderr)
                 print(proc.stderr[-2000:], file=sys.stderr)
         except subprocess.TimeoutExpired as exc:
             # Keep whatever the worker reported before the cap (e.g. the
-            # middlebury fps measured before the golden gate's compile).
+            # fp32 arm measured before the bf16 arm's compile).
             out = exc.stdout
-            harvest(out.decode() if isinstance(out, bytes) else out,
-                    name, baseline, dtype, key)
-            extra.setdefault("job_errors", {})[key] = "job cap timeout"
-            print(f"bench: {key} timed out", file=sys.stderr)
+            harvest(out.decode() if isinstance(out, bytes) else out)
+            extra.setdefault("job_errors", {})[keys] = "job cap timeout"
+            print(f"bench: {keys} timed out", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
-            extra.setdefault("job_errors", {})[key] = str(exc)[:200]
-            print(f"bench: {key} failed: {exc}", file=sys.stderr)
+            extra.setdefault("job_errors", {})[keys] = str(exc)[:200]
+            print(f"bench: {keys} failed: {exc}", file=sys.stderr)
 
     classical = _classical_fps(extra)
 
