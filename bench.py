@@ -316,6 +316,32 @@ def _middlebury_golden_frac():
                              jax.device_put(golden)))
 
 
+_E2E_SHARED: dict = {}
+
+
+def _e2e_shared():
+    """Load the Deep3D checkpoint and upload it ONCE per worker process.
+
+    The ~150 MB weight pytree crosses the ~1.3 MB/s tunnel in minutes; the
+    fp32 arm, the bf16 arm, and the one-module secondary all consume the
+    SAME values (the bf16 arm casts IN-GRAPH), so re-uploading per arm
+    tripled the e2e job's wall time on a cold server (a fresh-clone
+    rehearsal measured 228 s vs ~45 s)."""
+    if not _E2E_SHARED:
+        import jax
+
+        from stereo_tpu.synthesis.right_view_synthesis import \
+            RightViewSynthesis
+
+        rvs = RightViewSynthesis(output_shape=(384, 1280))
+        assert tuple(rvs.model_full_shape) == (384, 1280), \
+            "bench assumes the committed native 384x1280 Deep3D checkpoint"
+        _E2E_SHARED["rvs_f32"] = rvs
+        _E2E_SHARED["host_vars"] = rvs.variables
+        _E2E_SHARED["dev_vars"] = jax.device_put(rvs.variables)
+    return _E2E_SHARED
+
+
 def _e2e_single_view_fps(compute_dtype: str = "float32"):
     """The reference's headline scenario end-to-end: ONE left view in,
     disparity out — Deep3D right-view synthesis (trained checkpoint) + the
@@ -332,16 +358,18 @@ def _e2e_single_view_fps(compute_dtype: str = "float32"):
 
     cfg = MatchingConfig(height=384, width=1280, min_disparity=0,
                          max_disparity=64)
-    rvs = RightViewSynthesis(output_shape=(384, 1280),
-                             compute_dtype=compute_dtype)
+    shared = _e2e_shared()
+    rvs = (shared["rvs_f32"] if compute_dtype == "float32"
+           else RightViewSynthesis(output_shape=(384, 1280),
+                                   compute_dtype=compute_dtype,
+                                   variables=shared["host_vars"]))
     dtype = jnp.dtype(compute_dtype)
 
     rng = np.random.default_rng(2)
     left = np.round(rng.uniform(0, 255, (3, 384, 1280))).astype(np.float32)
     ld = jax.device_put(jnp.asarray(left))
-    # device_put ONCE: a host-side numpy pytree would re-cross the tunnel
-    # (~170 MB at ~1.3 MB/s) on every timed call.
-    variables = jax.device_put(rvs.variables)
+    # the ONE device-resident weight pytree, shared across arms
+    variables = shared["dev_vars"]
 
     if rvs.split_inference:
         # Production TPU path (pipeline/single_view.py): TWO chained
@@ -390,16 +418,16 @@ def _e2e_one_module_fps():
 
     from stereo_tpu.core.config import MatchingConfig
     from stereo_tpu.matching.classical import compute_disparity_map
-    from stereo_tpu.synthesis.right_view_synthesis import (RightViewSynthesis,
-                                                           synthesize_batch)
+    from stereo_tpu.synthesis.right_view_synthesis import synthesize_batch
 
     cfg = MatchingConfig(height=384, width=1280, min_disparity=0,
                          max_disparity=64)
-    rvs = RightViewSynthesis(output_shape=(384, 1280))
+    shared = _e2e_shared()
+    rvs = shared["rvs_f32"]
     rng = np.random.default_rng(2)
     left = np.round(rng.uniform(0, 255, (3, 384, 1280))).astype(np.float32)
     ld = jax.device_put(jnp.asarray(left))
-    variables = jax.device_put(rvs.variables)
+    variables = shared["dev_vars"]
 
     def frame(l, v):
         right = synthesize_batch(rvs.model, v, l[None],
