@@ -37,9 +37,11 @@ def train_synthetic(args) -> None:
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         chunk=args.chunk, disparity_loss_weight=args.disparity_loss_weight,
         ce_loss_weight=args.ce_loss_weight,
+        min_scene_disparity=args.min_scene_disparity,
         schedule_steps=(args.steps if args.cosine_schedule else 0),
         init_variables=init_variables,
-        prob_volume_scale=args.prob_volume_scale)
+        prob_volume_scale=args.prob_volume_scale,
+        photo_target=args.photo_target)
     out = args.export_dir
     if not out.endswith(".npz"):
         out = out + ".npz"
@@ -63,6 +65,8 @@ def train_synthetic(args) -> None:
                    "crop": args.crop,
                    "disparity_loss_weight": args.disparity_loss_weight,
                    "ce_loss_weight": args.ce_loss_weight,
+                   "photo_target": args.photo_target,
+                   "min_scene_disparity": args.min_scene_disparity,
                    "cosine_schedule": args.cosine_schedule,
                    "batch_size": args.batch_size,
                    "prob_volume_scale": args.prob_volume_scale,
@@ -90,6 +94,21 @@ def main() -> None:
                         help="synthetic mode: weight of the sub-pixel cross-"
                              "entropy to the GT disparity channel (sharpens "
                              "the probability volume against blend ghosting)")
+    parser.add_argument("--min-scene-disparity", type=float, default=6.0,
+                        help="synthetic mode: scene-family minimum disparity "
+                             "— MUST match the evaluation family (6.0): in "
+                             "depth-prior mode it defines the deterministic "
+                             "appearance->depth mapping (the r1-r4 hardcoded "
+                             "2.0 vs the 6.0 eval family was a global ~3 px "
+                             "disparity bias)")
+    parser.add_argument("--photo-target", default="right",
+                        choices=["right", "oracle"],
+                        help="synthetic mode: photometric target — 'right' "
+                             "(the true right view, reference parity) or "
+                             "'oracle' (the left view warped by exact GT "
+                             "disparity: the reachable optimum of the "
+                             "shift-blend class, removing the ~5 gray "
+                             "levels of irreducible occlusion noise)")
     parser.add_argument("--cosine-schedule", action="store_true",
                         help="synthetic mode: warmup-cosine LR decay over "
                              "--steps instead of a constant learning rate")

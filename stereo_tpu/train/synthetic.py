@@ -333,6 +333,17 @@ class SyntheticDeep3DTrainer:
     aux term pins it, which is what downstream stereo matching on the
     synthesized view actually needs.
 
+    ``photo_target="oracle"`` replaces the photometric target with the
+    left view warped by the exact right-frame GT disparity — the reachable
+    optimum of the shift-blend synthesis class (the floor record's oracle,
+    ``scripts/single_view_floor.py``).  The TRUE right view differs from
+    that optimum by ~5.2 gray levels of occluded-in-left content no
+    convex-shift architecture can produce; training against it makes the
+    irreducible residual a gradient NOISE floor that competes with the
+    sub-gray-level geometric signal the downstream matcher needs.  The
+    oracle target removes exactly that noise (distillation onto the
+    oracle's warp field); "right" keeps reference-parity semantics.
+
     ``height``/``width`` must make ``(H/4, W/4)`` divisible by 32 (the VGG
     stride on the downscaled branch).
     """
@@ -340,12 +351,14 @@ class SyntheticDeep3DTrainer:
     def __init__(self, height: int = 256, width: int = 512,
                  batch_size: int = 2, learning_rate: float = 2e-4,
                  weight_decay: float = 1e-4, chunk: int = 10, seed: int = 0,
+                 min_scene_disparity: float = 6.0,
                  max_scene_disparity: float = 58.0,
                  disparity_loss_weight: float = 0.0,
                  ce_loss_weight: float = 0.0,
                  schedule_steps: int = 0,
                  init_variables=None,
-                 prob_volume_scale: int = 4):
+                 prob_volume_scale: int = 4,
+                 photo_target: str = "right"):
         import optax
 
         from ..models import Deep3D
@@ -397,12 +410,23 @@ class SyntheticDeep3DTrainer:
         model, optimizer = self.model, self.optimizer
         w_disp = float(disparity_loss_weight)
         w_ce = float(ce_loss_weight)
-        supervised = w_disp > 0.0 or w_ce > 0.0
+        if photo_target not in ("right", "oracle"):
+            raise ValueError("photo_target must be 'right' or 'oracle'")
+        oracle_photo = photo_target == "oracle"
+        supervised = w_disp > 0.0 or w_ce > 0.0 or oracle_photo
         # depth_prior scenes: single-view synthesis is only learnable when
         # appearance predicts depth (see synthetic_stereo_scene docstring).
+        # The (min, max) scene disparities must MATCH the evaluation
+        # family's (6.0, 58.0): in depth-prior mode they define the
+        # deterministic appearance->depth mapping itself, so a mismatched
+        # trainer teaches a systematically shifted mapping.  The r1-r4
+        # checkpoints trained with a hardcoded min of 2.0 against the 6.0
+        # eval family — a global ~2-4 px disparity bias that read as
+        # rvs_on D1 0.29-0.48 while the volume was sharp and confident
+        # (diagnosed in results/evaluation/rvs_diagnosis_r05.json).
         gen = functools.partial(
             synthetic_stereo_batch, batch_size=batch_size, height=height,
-            width=width, min_disparity=2.0,
+            width=width, min_disparity=min_scene_disparity,
             max_disparity=max_scene_disparity, depth_prior=True,
             with_right_frame_gt=supervised)
         channels = jnp.arange(65, dtype=jnp.float32)   # Deep3D's 65 shifts
@@ -416,6 +440,9 @@ class SyntheticDeep3DTrainer:
                 left, right, _ = gen(kgen)
             left = left / 255.0
             right = right / 255.0
+            if oracle_photo:
+                # Reachable-optimum photometric target (see class docstring).
+                right = oracle_warp_batch(left, gt_right)
             down = _mean_pool_nchw(left, 4)
 
             def loss(p):
@@ -504,3 +531,21 @@ class SyntheticDeep3DTrainer:
 def _mean_pool_nchw(x: jnp.ndarray, k: int) -> jnp.ndarray:
     n, c, h, w = x.shape
     return x.reshape(n, c, h // k, k, w // k, k).mean(axis=(3, 5))
+
+
+def oracle_warp_batch(left_nchw: jnp.ndarray,
+                      d_right_nhw: jnp.ndarray) -> jnp.ndarray:
+    """``out[n, c, x, y] = left[n, c, x, y + d_r(n, x, y)]`` (bilinear) —
+    the left views warped by the exact right-frame disparity: the reachable
+    optimum of Deep3D's convex-shift synthesis class (fractional
+    disparities become the two-tap blend the softmax head can emit).  Same
+    math as the floor record's oracle (``scripts/single_view_floor.py``)."""
+    n, c, h, w = left_nchw.shape
+    y = jnp.arange(w, dtype=jnp.float32)[None, None, :] + d_right_nhw
+    y0 = jnp.floor(y)
+    frac = (y - y0)[:, None]                                  # (N, 1, H, W)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, w - 1)            # (N, H, W)
+    y1i = jnp.clip(y0i + 1, 0, w - 1)
+    take = jax.vmap(lambda img, idx: jnp.take_along_axis(
+        img, idx[None].repeat(img.shape[0], 0), axis=-1))
+    return (1.0 - frac) * take(left_nchw, y0i) + frac * take(left_nchw, y1i)

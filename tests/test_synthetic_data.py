@@ -158,6 +158,36 @@ class TestSyntheticTrainer:
         losses = tr.train(1, log_every_chunks=0)
         assert len(losses) == 1 and np.isfinite(losses[0])
 
+    def test_oracle_warp_batch_matches_scene(self):
+        """On integer-disparity scenes the oracle warp must reproduce the
+        true right view exactly away from occlusions/borders (the scene
+        textures are world-anchored: right[y] = left[y + d])."""
+        from stereo_tpu.train.synthetic import (oracle_warp_batch,
+                                                synthetic_stereo_scene)
+
+        left, right, gt, gt_right = synthetic_stereo_scene(
+            jax.random.PRNGKey(3), 64, 128, min_disparity=8.0,
+            max_disparity=8.0, n_layers=1, with_right_frame_gt=True)
+        warped = oracle_warp_batch(left[None] / 255.0,
+                                   gt_right[None])[0] * 255.0
+        # single constant-d layer: exact correspondence except the d
+        # rightmost columns (content outside the left view)
+        err = np.abs(np.asarray(warped - right))[:, :, :-9]
+        assert err.max() < 1e-3
+
+    def test_deep3d_oracle_photo_target_step(self):
+        """One oracle-target Deep3D step must run with a finite loss (the
+        r5 headline training recipe: photometric target = reachable
+        optimum instead of the occlusion-noisy true right view)."""
+        from stereo_tpu.train.synthetic import SyntheticDeep3DTrainer
+
+        tr = SyntheticDeep3DTrainer(height=128, width=256, batch_size=1,
+                                    chunk=1, ce_loss_weight=0.05,
+                                    max_scene_disparity=30.0,
+                                    photo_target="oracle")
+        losses = tr.train(1, log_every_chunks=0)
+        assert len(losses) == 1 and np.isfinite(losses[0])
+
 
 class TestTrainedCheckpoints:
     """Accuracy gate: the committed trained weights must beat random init
