@@ -36,9 +36,12 @@ import numpy as np
 # COMMITTED seed cache: the driver's end-of-round run starts from a fresh
 # checkout, and cold remote compiles (msnet3d alone can eat 10 minutes)
 # starved 3-4 secondary keys out of the 540 s budget in r3 and in an r4
-# cold rehearsal.  ~100 MB of compiled executables for the exact bench
-# programs makes every driver run warm; a cache miss (new jaxlib, changed
-# program) falls back to compiling exactly as before.
+# cold rehearsal.  A few hundred MB of compiled executables for the exact
+# bench programs makes every driver run warm; a cache miss (new jaxlib,
+# changed program) falls back to compiling exactly as before.  When bench
+# programs change, DELETE the stale entries and re-seed (rather than
+# accumulate) — every superseded executable otherwise grows git history
+# permanently.
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_cache")
 

@@ -74,15 +74,22 @@ class DepthEstimationPipeline:
             # both logical stages, so its wall time is attributed to
             # "stereo_matching" (the blend tail is ~0.4 of its ~1.9 ms).
             engine = self._fused_single_view()
+            # With log_perf_time the timed stages block on their outputs so
+            # the clocks record device time; the default path keeps JAX's
+            # async dispatch (the timers then record enqueue time only).
             with self._timer.stage("right_view_generation"):
                 with perf_clock("Right view generation", cfg.log_perf_time):
                     left = jnp.asarray(left_image, jnp.float32)[None]
                     prob_low, full01 = engine._fn_net(
                         engine.synthesis.variables, left)
+                    if cfg.log_perf_time:
+                        jax.block_until_ready((prob_low, full01))
             with self._timer.stage("stereo_matching"):
                 with perf_clock("Stereo matching", cfg.log_perf_time):
                     disparity, right = engine._fn_tail_match(prob_low,
                                                              full01, left)
+                    if cfg.log_perf_time:
+                        jax.block_until_ready(disparity)
             return DepthEstimationResult(left_image=left_image,
                                          right_image=right[0],
                                          disparity_map=disparity[0])
@@ -129,7 +136,12 @@ class DepthEstimationPipeline:
                                      disparity_map=disparity)
 
     def stage_times(self) -> dict:
-        """Mean seconds per stage across all processed frames."""
+        """Mean seconds per stage across all processed frames.
+
+        On the fused single-view fast path the stages are async-dispatched:
+        without ``log_perf_time`` these are enqueue times, not device times
+        (set ``log_perf_time=True`` to make the timed stages block on their
+        outputs)."""
         return self._timer.summary()
 
     # ------------------------------------------------------------------
@@ -164,27 +176,36 @@ class DepthEstimationPipeline:
                 output_shape=self._config.image_shape,
                 compute_dtype=self._config.compute_dtype,
                 checkpoint_dir=self._config.rvs_checkpoint)
-            # Disparity-coverage guard: the synthesized view is blended at
-            # the MODEL's native width from 65 shift channels, then resized
-            # to the pipeline shape — at output scale it can express at
-            # most 64 * W_out / W_model px of disparity.  Asking the
-            # matcher for more than that reads as a catastrophic rvs_on
-            # accuracy collapse with no error anywhere (the r4 root cause
-            # of an unreproducible r3 eval record).
-            from ..models.deep3d import NUM_DISPARITY_CHANNELS
-            w_model = self._right_view_synthesis.model_full_shape[1]
-            coverage = (NUM_DISPARITY_CHANNELS - 1) * (
-                self._config.image_shape[1] / w_model)
-            if self._config.max_disparity > coverage + 0.5:
-                import warnings
-                warnings.warn(
-                    f"single-view pipeline at {self._config.image_shape} "
-                    f"asks for disparities up to {self._config.max_disparity}"
-                    f" but the {w_model}-wide Deep3D checkpoint can "
-                    f"synthesize at most ~{coverage:.0f} px at this output "
-                    f"scale; evaluate at the model's native shape",
-                    stacklevel=3)
+        self._check_disparity_coverage(self._right_view_synthesis)
         return self._right_view_synthesis
+
+    def _check_disparity_coverage(self, synthesis) -> None:
+        """Disparity-coverage guard: the synthesized view is blended at
+        the MODEL's native width from 65 shift channels, then resized
+        to the pipeline shape — at output scale it can express at
+        most 64 * W_out / W_model px of disparity.  Asking the
+        matcher for more than that reads as a catastrophic rvs_on
+        accuracy collapse with no error anywhere (the r4 root cause
+        of an unreproducible r3 eval record).  Runs once per pipeline, on
+        the synthesis object actually in use — injected or lazily built."""
+        if getattr(self, "_coverage_checked", False):
+            return
+        self._coverage_checked = True
+        w_model = getattr(synthesis, "model_full_shape", (None, None))[1]
+        if not w_model:          # a test double without a model shape
+            return
+        from ..models.deep3d import NUM_DISPARITY_CHANNELS
+        coverage = (NUM_DISPARITY_CHANNELS - 1) * (
+            self._config.image_shape[1] / w_model)
+        if self._config.max_disparity > coverage + 0.5:
+            import warnings
+            warnings.warn(
+                f"single-view pipeline at {self._config.image_shape} "
+                f"asks for disparities up to {self._config.max_disparity}"
+                f" but the {w_model}-wide Deep3D checkpoint can "
+                f"synthesize at most ~{coverage:.0f} px at this output "
+                f"scale; evaluate at the model's native shape",
+                stacklevel=4)
 
     def _fused_single_view(self):
         """The merged tail+matcher engine for the single-device classical

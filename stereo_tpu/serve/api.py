@@ -78,20 +78,24 @@ def device_upcast_f32(x_u8: np.ndarray):
         return np.asarray(x_u8, dtype=np.float32)
 
 
-def quantize_disparity_u8(disparity_hw) -> np.ndarray:
-    """Round/clip a float disparity map to uint8 ON THE DEVICE when it is a
-    jax array (4x less device->host transfer than pulling f32 and casting
-    on the host — the transfer dominates per-request serving latency when
-    the accelerator is remote), else on the host."""
+def _quantize_disparity_device(disparity):
+    """Round/clip a float disparity map to uint8 without leaving the
+    device (async — returns a device array for a jax input, a host array
+    otherwise).  4x less device->host transfer than pulling f32."""
     try:
         import jax.numpy as jnp
 
-        if hasattr(disparity_hw, "devices"):          # jax array
-            return np.asarray(jnp.clip(jnp.round(disparity_hw), 0, 255)
-                              .astype(jnp.uint8))
+        if hasattr(disparity, "devices"):             # jax array
+            return jnp.clip(jnp.round(disparity), 0, 255).astype(jnp.uint8)
     except Exception:  # noqa: BLE001 — fall through to the host path
         pass
-    return np.clip(np.round(np.asarray(disparity_hw)), 0, 255).astype(np.uint8)
+    return np.clip(np.round(np.asarray(disparity)), 0, 255).astype(np.uint8)
+
+
+def quantize_disparity_u8(disparity_hw) -> np.ndarray:
+    """(H, W) float disparity -> host uint8 (quantization on device when
+    possible — see ``_quantize_disparity_device``)."""
+    return np.asarray(_quantize_disparity_device(disparity_hw))
 
 
 def encode_disparity_png(disparity_hw) -> bytes:
@@ -121,27 +125,40 @@ def _extract_multipart_file(body: bytes, content_type: str) -> Optional[bytes]:
 
 
 class MicroBatcher:
-    """Coalesces concurrent single-frame requests into device batches.
+    """Coalesces concurrent single-frame requests into device batches, with
+    dispatch/readback overlap.
 
-    Serving threads ``submit()`` a frame and block on its future; one
-    worker thread drains the queue, groups up to ``max_batch`` frames
+    Serving threads ``submit()`` a frame and block on its future.  One
+    DISPATCH thread drains the queue, groups up to ``max_batch`` frames
     (waiting at most ``max_wait_ms`` after the first), pads the group to
     the fixed batch shape (a single compiled executable — no per-size
-    recompiles), and runs ``pipeline.process_batch`` once per group.  At
-    ~ms/frame engine latency the pad waste is far cheaper than per-request
-    dispatch serialization.
+    recompiles), and enqueues the whole group ASYNCHRONOUSLY: uint8 upload,
+    ``pipeline.process_batch``, and the on-device uint8 disparity
+    quantization are all JAX async dispatches that return device futures.
+    A separate READBACK thread blocks on the device->host transfer and
+    resolves the request futures.  Group N+1's decode+upload+compute
+    therefore overlaps group N's result download — on a remote-tunnel
+    device the download is the dominant per-batch cost, so the overlap
+    roughly doubles steady-state throughput over the serial loop (measured
+    in ``results/serving/``).  ``depth`` bounds the number of in-flight
+    groups so device memory and request latency stay bounded.
     """
 
     def __init__(self, pipeline: DepthEstimationPipeline, max_batch: int = 4,
-                 max_wait_ms: float = 4.0):
+                 max_wait_ms: float = 4.0, depth: int = 2):
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self._queue: "queue.Queue" = queue.Queue()
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
         self.batches_run = 0
         self.frames_run = 0
-        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True)
+        self._collector = threading.Thread(target=self._readback_loop,
+                                           daemon=True)
         self._worker.start()
+        self._collector.start()
 
     def submit(self, left_chw: np.ndarray):
         from concurrent.futures import Future
@@ -170,10 +187,11 @@ class MicroBatcher:
             group.append(nxt)
         return group
 
-    def _loop(self) -> None:
+    def _dispatch_loop(self) -> None:
         while True:
             group = self._drain_group()
             if group is None:
+                self._inflight.put(None)   # unblock + stop the collector
                 return
             lefts = np.stack([left for left, _ in group])
             pad = self.max_batch - len(group)
@@ -183,7 +201,23 @@ class MicroBatcher:
             try:
                 result = self.pipeline.process_batch(
                     device_upcast_f32(lefts), None)
-                disparities = quantize_disparity_u8(result.disparity_map)
+                # On-device u8 quantization, still async: only the
+                # readback thread pays the device->host transfer.
+                device_u8 = _quantize_disparity_device(result.disparity_map)
+            except Exception as exc:  # noqa: BLE001 — propagate per-request
+                for _, future in group:
+                    future.set_exception(exc)
+                continue
+            self._inflight.put((device_u8, group))   # blocks at depth limit
+
+    def _readback_loop(self) -> None:
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            device_u8, group = item
+            try:
+                disparities = np.asarray(device_u8)     # device->host block
             except Exception as exc:  # noqa: BLE001 — propagate per-request
                 for _, future in group:
                     future.set_exception(exc)
@@ -196,6 +230,7 @@ class MicroBatcher:
     def shutdown(self) -> None:
         self._queue.put(None)
         self._worker.join(timeout=5)
+        self._collector.join(timeout=5)
 
 
 class DepthEstimationServer:

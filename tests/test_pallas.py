@@ -116,6 +116,52 @@ class TestSampledWindow:
         np.testing.assert_allclose(np.moveaxis(np.asarray(got), 0, -1),
                                    np.asarray(want), rtol=1e-6)
 
+    def test_noninteger_luma_inputs(self):
+        """Pin the float-divergence envelope on PRODUCTION-like inputs.
+
+        The phase-split kernel folds the row box into one banded 0/1 MXU
+        contraction; that changed summation association is bit-exact for
+        integer-valued images but can reassociate fp32 rounding on the real
+        pipeline's weighted-luma inputs (``rgb_to_grayscale``, non-integer).
+        The envelope must stay well inside the SAD near-tie scale (the
+        golden gate separately bounds the end-to-end effect)."""
+        from stereo_tpu.ops.refinement import sampled_sad_volume
+        from stereo_tpu.ops.gather import take_window_lanes
+        from stereo_tpu.ops.imageops import rgb_to_grayscale
+
+        cfg = CFG
+        rgb = RNG.integers(0, 256, (3, cfg.height, cfg.width)).astype(np.float32)
+        lg = np.asarray(rgb_to_grayscale(jnp.asarray(rgb)))     # non-integer
+        rg = np.roll(lg, -6, axis=-1)
+        assert not np.allclose(lg, np.round(lg))                # really luma
+
+        ld = ops.mean_pool(jnp.asarray(lg), cfg.k)
+        rd = ops.mean_pool(jnp.asarray(rg), cfg.k)
+        vol = ops.sad_cost_volume(ld, rd, cfg.min_disparity_down,
+                                  cfg.max_disparity_down,
+                                  cfg.cost_patch_radius)
+        agg = ops.mbm_aggregate(vol, cfg.small_mbm_radius, cfg.mid_mbm_radius,
+                                cfg.large_mbm_radius)
+        disp = ops.wta_disparity(agg, cfg.min_disparity_down)
+
+        k = cfg.k
+        num_dd = agg.shape[-1]
+        d_start = k * (cfg.min_disparity_down - 1) - 1
+        num_dense = k * (num_dd + 1) + 3
+        dense = sampled_sad_volume(jnp.asarray(lg), jnp.asarray(rg), k,
+                                   cfg.sad_patch_radius, d_start, num_dense)
+        d_idx = disp.astype(jnp.int32) - cfg.min_disparity_down
+        want = np.asarray(take_window_lanes(dense, k * d_idx, 2 * k + 3,
+                                            step=k))
+
+        got = np.moveaxis(np.asarray(
+            sampled_window(jnp.asarray(lg), jnp.asarray(rg), disp, cfg)),
+            0, -1)
+        # Window costs are patch sums of 255-|dL| terms, O(255 * (2r+1)^2)
+        # ~ 6e3; a few fp32 ulps of reassociation is ~1e-2 absolute.
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-2)
+        assert float(np.abs(got - want).max()) < 2e-2
+
 
 class TestFusedPipeline:
     @pytest.mark.parametrize("cfg", [CFG, CFG_MIN, CFG_BIGMIN, CFG_UNALIGNED, CFG_FORI],
