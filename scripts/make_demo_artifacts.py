@@ -94,6 +94,36 @@ def single_view_demo(out_dir: str, backend_name: str, seed: int) -> None:
           "| predicted disparity")
 
 
+def video_demo(out_dir: str, backend_name: str, seed: int, n_frames: int,
+               fps: int, drive_speed: float) -> None:
+    """Single-view DRIVE video (VERDICT r4 #7 — the reference's published
+    evidence is demo videos, ``README.md:49-63``): a laterally tracking
+    camera through one synthetic scene (true per-layer motion parallax,
+    ``train.synthetic.synthetic_stereo_scene(camera_t=...)``), each frame
+    run left-view-only through the pipeline, streamed into an mp4 by
+    ``ContextVideoSaver`` (left | synthesized right | disparity)."""
+    from stereo_tpu.core.config import PipelineConfig
+    from stereo_tpu.pipeline import (DepthEstimationPipeline,
+                                     run_depth_estimation_pipeline)
+    from stereo_tpu.pipeline.camera import SyntheticStereoCamera
+    from stereo_tpu.pipeline.hooks import (ContextVideoSaver,
+                                           DisparityMapCompletionLogger)
+
+    h, w = 384, 1280        # Deep3D's native operating shape
+    camera = SyntheticStereoCamera(
+        n_frames=n_frames, height=h, width=w, depth_prior=True,
+        return_right_view=False, seed=seed, drive_speed=drive_speed)
+    config = PipelineConfig(image_shape=(h, w), min_disparity=0,
+                            max_disparity=64,
+                            stereo_matching_backend=backend_name)
+    pipeline = DepthEstimationPipeline(config)
+    path = os.path.join(out_dir, f"single_view_drive_{backend_name}.mp4")
+    hooks = [ContextVideoSaver(path, fps), DisparityMapCompletionLogger()]
+    run_depth_estimation_pipeline(camera, pipeline, hooks)
+    size = os.path.getsize(path)
+    print(f"video: {path} ({n_frames} frames @ {fps} fps, {size/1e6:.2f} MB)")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--out-dir", default="results/demo")
@@ -102,12 +132,22 @@ def main() -> None:
     parser.add_argument("--backend", default="gwcnet")
     parser.add_argument("--seed", type=int, default=20260817)
     parser.add_argument("--skip-middlebury", action="store_true")
+    parser.add_argument("--video", action="store_true",
+                        help="write the single-view drive mp4 (see "
+                             "video_demo)")
+    parser.add_argument("--video-frames", type=int, default=48)
+    parser.add_argument("--video-fps", type=int, default=12)
+    parser.add_argument("--drive-speed", type=float, default=0.06,
+                        help="baselines of lateral camera motion per frame")
     args = parser.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
     if not args.skip_middlebury and os.path.isdir(args.middlebury_dir):
         middlebury_demo(args.out_dir, args.middlebury_dir)
     single_view_demo(args.out_dir, args.backend, args.seed)
+    if args.video:
+        video_demo(args.out_dir, args.backend, args.seed, args.video_frames,
+                   args.video_fps, args.drive_speed)
 
 
 if __name__ == "__main__":

@@ -38,7 +38,7 @@ class SyntheticStereoCamera(EvaluationCamera):
                  disparity_boundaries: Tuple[int, int] = (0, 64),
                  return_right_view: bool = True, seed: int = 1234,
                  focal_length: float = 720.0, baseline: float = 0.54,
-                 depth_prior: bool = False):
+                 depth_prior: bool = False, drive_speed: float = 0.0):
         self._n = n_frames
         self._h, self._w = height, width
         self._dmin, self._dmax = min_scene_disparity, max_scene_disparity
@@ -47,6 +47,11 @@ class SyntheticStereoCamera(EvaluationCamera):
         self._seed = seed
         self._f, self._b = focal_length, baseline
         self._depth_prior = depth_prior
+        # drive mode: one fixed scene layout, the camera rig tracking
+        # laterally by ``drive_speed`` baselines per frame (true motion
+        # parallax — the demo-video scenario); 0.0 keeps the original
+        # independent-scene-per-frame behavior.
+        self._drive_speed = drive_speed
 
     def focal_length(self) -> float:
         return self._f
@@ -65,11 +70,16 @@ class SyntheticStereoCamera(EvaluationCamera):
 
         from ...train.synthetic import synthetic_stereo_scene
 
-        key = jax.random.fold_in(jax.random.PRNGKey(self._seed), index)
+        if self._drive_speed:
+            key = jax.random.PRNGKey(self._seed)       # one scene layout
+            camera_t = index * self._drive_speed
+        else:
+            key = jax.random.fold_in(jax.random.PRNGKey(self._seed), index)
+            camera_t = 0.0
         left, right, gt = jax.jit(
-            synthetic_stereo_scene, static_argnums=(1, 2, 5, 6)
+            synthetic_stereo_scene, static_argnums=(1, 2, 5, 6, 7)
         )(key, self._h, self._w, self._dmin, self._dmax, 6,
-          self._depth_prior)
+          self._depth_prior, False, camera_t)
         return (np.asarray(left), np.asarray(right), np.asarray(gt))
 
     def stream_image_pairs(self) -> Iterator[

@@ -79,10 +79,20 @@ def synthetic_stereo_scene(
         min_disparity: float = 6.0, max_disparity: float = 58.0,
         n_layers: int = 6,
         depth_prior: bool = False,
-        with_right_frame_gt: bool = False):
+        with_right_frame_gt: bool = False,
+        camera_t: float = 0.0):
     """One scene -> ``(left (3,H,W), right (3,H,W), gt_disparity (H,W))``,
     images float32 in 0..255 (the pipeline's camera contract), GT in
     left-frame full-resolution pixels.  Pure-jnp; jit/vmap safe.
+
+    ``camera_t`` places the stereo rig ``camera_t`` baselines to the right
+    of its t=0 position (a traced float — same executable for a whole
+    drive): every layer shifts by ``t * d``, so near layers sweep faster
+    than far ones — true motion parallax with evolving occlusions.  Holding
+    ``key`` fixed and stepping ``camera_t`` yields a temporally coherent
+    "drive" through one scene (the demo-video generator); ``left(t=1)``
+    equals ``right(t=0)`` by construction (tested).  GT disparities are
+    camera-position-independent (depth-determined).
 
     ``with_right_frame_gt=True`` appends a fourth output: the disparity map
     in RIGHT-frame coordinates (``right[y] = left[y + d_r(y)]``) — the frame
@@ -125,8 +135,12 @@ def synthetic_stereo_scene(
             kd, (n_layers,), minval=min_disparity, maxval=max_disparity))
         d_bg = jnp.full((height, width), ds[0])
 
-    right = _layer_texture(kbg, x_hw, y_hw)
-    left = _layer_texture(kbg, x_hw, y_hw - d_bg)
+    t = jnp.float32(camera_t)
+    # Camera at +t baselines: a right-view pixel y images world column
+    # y + t*d, a left-view pixel y images y + (t-1)*d (t=0 is the original
+    # world==right convention).
+    right = _layer_texture(kbg, x_hw, y_hw + t * d_bg)
+    left = _layer_texture(kbg, x_hw, y_hw + (t - 1.0) * d_bg)
     # The background disparity varies per ROW only (or is constant), so the
     # right-frame map starts identical to the left-frame one.
     disparity = d_bg
@@ -161,10 +175,10 @@ def synthetic_stereo_scene(
             return ((x_hw >= x0) & (x_hw < x0 + rect_h)
                     & (yw >= y0) & (yw < y0 + rect_w))
 
-        mask_r = rect_mask(y_hw)
-        mask_l = rect_mask(y_hw - d)
-        tex_r = _layer_texture(kt, x_hw, y_hw)
-        tex_l = _layer_texture(kt, x_hw, y_hw - d)
+        mask_r = rect_mask(y_hw + t * d)
+        mask_l = rect_mask(y_hw + (t - 1.0) * d)
+        tex_r = _layer_texture(kt, x_hw, y_hw + t * d)
+        tex_l = _layer_texture(kt, x_hw, y_hw + (t - 1.0) * d)
         right = jnp.where(mask_r[None], tex_r, right)
         left = jnp.where(mask_l[None], tex_l, left)
         disparity = jnp.where(mask_l, d, disparity)

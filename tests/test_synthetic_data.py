@@ -175,6 +175,44 @@ class TestSyntheticTrainer:
         err = np.abs(np.asarray(warped - right))[:, :, :-9]
         assert err.max() < 1e-3
 
+    def test_camera_t_zero_is_bit_exact_default(self):
+        """camera_t=0 must reproduce the original scenes exactly (the
+        training/eval distribution is untouched by the drive feature)."""
+        from stereo_tpu.train.synthetic import synthetic_stereo_scene
+
+        key = jax.random.PRNGKey(11)
+        a = synthetic_stereo_scene(key, 64, 128, depth_prior=True)
+        b = synthetic_stereo_scene(key, 64, 128, depth_prior=True,
+                                   camera_t=0.0)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_camera_t_one_left_equals_t_zero_right(self):
+        """Tracking one full baseline right: the new left camera sits where
+        the old right camera was -> identical images (true parallax)."""
+        from stereo_tpu.train.synthetic import synthetic_stereo_scene
+
+        key = jax.random.PRNGKey(12)
+        _, right0, _ = synthetic_stereo_scene(key, 64, 128, depth_prior=True)
+        left1, _, _ = synthetic_stereo_scene(key, 64, 128, depth_prior=True,
+                                             camera_t=1.0)
+        np.testing.assert_allclose(np.asarray(left1), np.asarray(right0),
+                                   atol=1e-3)
+
+    def test_drive_camera_streams_coherent_frames(self):
+        """Drive mode: same scene layout, moving rig -> consecutive frames
+        differ (motion) but share the static background statistics."""
+        from stereo_tpu.pipeline.camera import SyntheticStereoCamera
+
+        cam = SyntheticStereoCamera(n_frames=3, height=64, width=128,
+                                    depth_prior=True, drive_speed=0.25,
+                                    return_right_view=False, seed=7)
+        frames = [left for left, _ in cam.stream_image_pairs()]
+        assert len(frames) == 3
+        assert not np.array_equal(frames[0], frames[1])
+        # parallax moves layers by <= speed*d_max px; global stats persist
+        assert abs(frames[0].mean() - frames[2].mean()) < 12.0
+
     def test_deep3d_oracle_photo_target_step(self):
         """One oracle-target Deep3D step must run with a finite loss (the
         r5 headline training recipe: photometric target = reachable
