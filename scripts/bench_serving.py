@@ -54,7 +54,10 @@ def main() -> None:
     parser.add_argument("--height", type=int, default=384)
     parser.add_argument("--width", type=int, default=1280)
     parser.add_argument("--max-disparity", type=int, default=64)
-    parser.add_argument("--micro-batch", type=int, default=4)
+    parser.add_argument("--micro-batch", type=int, default=8,
+                        help="8 rides the measured single-view batch curve "
+                             "(357 frames/s at batch 8, results/scaling/"
+                             "single_view_batch_tpu.json)")
     parser.add_argument("--clients", type=int, default=12)
     parser.add_argument("--requests", type=int, default=240)
     parser.add_argument("--output-dir", default="results/serving")
@@ -109,6 +112,46 @@ def main() -> None:
         t.join()
     wall = time.perf_counter() - t0
 
+    # ---- wire-vs-compute decomposition (single-frame, post-load) -------
+    # Times each stage of one request's journey so the record states WHERE
+    # the latency lives: PNG decode, uint8 upload + device compute +
+    # on-device quantization (blocked), u8 download, PNG encode.
+    import io as _io
+
+    from PIL import Image as _Image
+
+    import jax as _jax
+
+    from stereo_tpu.serve.api import (_quantize_disparity_device,
+                                      decode_png_to_pipeline_image,
+                                      device_upcast_f32)
+
+    def _stage_times(png: bytes) -> dict:
+        t0 = time.perf_counter()
+        left = decode_png_to_pipeline_image(png, config.image_shape)
+        t1 = time.perf_counter()
+        dev = device_upcast_f32(np.stack([left] * args.micro_batch))
+        res = server.pipeline.process_batch(dev, None)
+        d_u8 = _quantize_disparity_device(res.disparity_map)
+        _jax.block_until_ready(d_u8)
+        t2 = time.perf_counter()
+        host = np.asarray(d_u8)
+        t3 = time.perf_counter()
+        buf = _io.BytesIO()
+        _Image.fromarray(host[0]).save(buf, format="PNG")
+        t4 = time.perf_counter()
+        return {"png_decode_ms": (t1 - t0) * 1e3,
+                "upload_compute_quantize_ms": (t2 - t1) * 1e3,
+                "u8_download_ms": (t3 - t2) * 1e3,
+                "png_encode_ms": (t4 - t3) * 1e3}
+
+    stage_runs = [_stage_times(payloads[i]) for i in range(3)]
+    breakdown = {k: round(float(np.median([r[k] for r in stage_runs])), 1)
+                 for k in stage_runs[0]}
+    device_share = breakdown["upload_compute_quantize_ms"]
+    wire_share = breakdown["u8_download_ms"]
+    codec_share = breakdown["png_decode_ms"] + breakdown["png_encode_ms"]
+
     lat_ms = np.asarray(latencies) * 1000.0
     result = {
         "backend": args.backend,
@@ -122,6 +165,16 @@ def main() -> None:
                        "mean": round(float(lat_ms.mean()), 1)},
         "batches_run": server.batcher.batches_run if server.batcher else None,
         "frames_run": server.batcher.frames_run if server.batcher else None,
+        "per_batch_stage_breakdown_ms": breakdown,
+        "bound_decomposition": {
+            "note": "median single-batch stage times after load "
+                    "(batch = micro_batch frames); the overlap pipeline "
+                    "(MicroBatcher dispatch/readback threads) hides "
+                    "u8_download behind the next batch's upload+compute",
+            "device_upload_compute_ms": round(device_share, 1),
+            "wire_download_ms": round(wire_share, 1),
+            "host_png_codec_ms": round(codec_share, 1),
+        },
         "note": ("end-to-end HTTP: PNG decode, micro-batch coalescing, "
                  "uint8 frame upload + on-device f32 upcast, device "
                  "compute, on-device u8 disparity quantization, PNG "

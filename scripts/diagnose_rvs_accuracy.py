@@ -67,6 +67,12 @@ def main() -> None:
     parser.add_argument("--backends", nargs="+", default=["gwcnet"])
     parser.add_argument("--temps", nargs="+", type=float, default=[4.0])
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--out", default="results/evaluation/"
+                                         "rvs_diagnosis_r05.json",
+                        help="record path (default documents the COMMITTED "
+                             "checkpoint; pass another path when diagnosing "
+                             "a candidate so the committed before-record "
+                             "isn't clobbered)")
     args = parser.parse_args()
 
     from stereo_tpu.models import Deep3D
@@ -203,8 +209,7 @@ def main() -> None:
         record["ladder"] = ladder
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "results", "evaluation",
-        "rvs_diagnosis_r05.json")
+        os.path.abspath(__file__))), args.out)
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
     print("wrote", out_path)

@@ -57,6 +57,11 @@ def main() -> None:
                         help="Deep3D .npz for the rvs_on arms (default: the "
                              "committed weights); used by the probability-"
                              "volume-resolution ablation")
+    parser.add_argument("--compute-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="precision of the neural paths (DNN backends + "
+                             "right-view synthesis) — the accuracy gate for "
+                             "the bf16 speed arms")
     parser.add_argument("--output-dir", default="results/evaluation")
     parser.add_argument("--only-one", action="store_true",
                         help="one frame per drive (smoke run)")
@@ -82,6 +87,8 @@ def main() -> None:
 
     drives = args.drive_dirs if not args.synthetic else ["synthetic"]
     results = {}
+    shared_synthesis = None     # one Deep3D instance (and ONE ~268 MB
+    # parameter upload) for the whole rvs_on grid instead of per-backend
     for drive in drives:
         drive_key = os.path.basename(os.path.normpath(drive))
         for rvs in args.rvs:
@@ -89,8 +96,18 @@ def main() -> None:
                 camera = make_camera(drive, rvs)
                 config = extract_config_from_camera(camera).update(
                     stereo_matching_backend=backend,
-                    rvs_checkpoint=args.rvs_checkpoint)
-                pipeline = DepthEstimationPipeline(config)
+                    rvs_checkpoint=args.rvs_checkpoint,
+                    compute_dtype=args.compute_dtype)
+                if rvs == "on" and shared_synthesis is None:
+                    from stereo_tpu.synthesis import RightViewSynthesis
+
+                    shared_synthesis = RightViewSynthesis(
+                        output_shape=camera.get_image_shape(),
+                        compute_dtype=config.compute_dtype,
+                        checkpoint_dir=args.rvs_checkpoint)
+                pipeline = DepthEstimationPipeline(
+                    config,
+                    synthesis=(shared_synthesis if rvs == "on" else None))
                 key = f"{drive_key}/rvs_{rvs}/{backend}"
                 print(f"=== {key}")
                 results[key] = run_depth_estimation_pipeline_evaluation(

@@ -17,7 +17,7 @@ evaluation_r04_native_protocol.json``): held-out depth-prior scenes, seed
 20260817, 8 frames at the native 384x1280 operating point, metrics masked
 to ``0 < gt <= 64``.
 
-Writes ``results/evaluation/single_view_floor_r04.json`` with
+Writes ``results/evaluation/single_view_floor_r05.json`` (``--out``) with
 (floor, current, gap) per backend.
 
 Usage: python scripts/single_view_floor.py   (TPU; CPU works too)
@@ -42,7 +42,6 @@ enable_persistent_cache()
 SEED = 20260817
 N_FRAMES = 8
 H, W = 384, 1280
-CURRENT_RECORD = "results/evaluation/evaluation_r04_native_protocol.json"
 
 
 def oracle_right_view(left_chw: jnp.ndarray, d_right: jnp.ndarray):
@@ -72,13 +71,24 @@ def scenes():
 
 
 def main() -> None:
+    import argparse
+
     from stereo_tpu.core.config import PipelineConfig
     from stereo_tpu.pipeline import DepthEstimationPipeline
     from stereo_tpu.pipeline.metrics import default_metrics
     from stereo_tpu.pipeline.runner import reduce_metrics
 
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--current-record",
+        default="results/evaluation/evaluation_r05_native_protocol.json",
+        help="the committed rvs_on eval the gap is computed against")
+    parser.add_argument(
+        "--out", default="results/evaluation/single_view_floor_r05.json")
+    args = parser.parse_args()
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, CURRENT_RECORD)) as f:
+    with open(os.path.join(root, args.current_record)) as f:
         current = json.load(f)
 
     backends = ["classical", "gwcnet", "msnet3d", "msnet2d"]
@@ -127,8 +137,7 @@ def main() -> None:
         print(f"{backend}: D1 floor {floor['D1']:.4f}  current "
               f"{cur.get('D1', float('nan')):.4f}", flush=True)
 
-    path = os.path.join(root, "results", "evaluation",
-                        "single_view_floor_r04.json")
+    path = os.path.join(root, args.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)
