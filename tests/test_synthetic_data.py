@@ -303,9 +303,14 @@ class TestTrainedDeep3D:
         # check at the checkpoint's own native shape (384x1280 since r3).
         meta = load_npz_meta(ckpt)
         h, w = (int(v) for v in meta.get("full_shape", [256, 512]))
+        # CANONICAL scene family (6.0, 58.0): in depth-prior mode the
+        # (min, max) parameters define the appearance->depth mapping the
+        # network learns — testing on any other family measures a
+        # deliberate domain shift, not the checkpoint (the r1-r4 training
+        # bug this guard would have caught had it used the eval family).
         left, right, _ = synthetic_stereo_batch(
             jax.random.PRNGKey(424242), batch_size=2, height=h, width=w,
-            min_disparity=2.0, max_disparity=52.0, depth_prior=True)
+            min_disparity=6.0, max_disparity=58.0, depth_prior=True)
         left = left / 255.0
         right = right / 255.0
         down = left.reshape(2, 3, h // 4, 4, w // 4, 4).mean(axis=(3, 5))
