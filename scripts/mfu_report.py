@@ -117,9 +117,13 @@ def _backends(include_slow: bool):
         }
 
     def e2e(dtype):
+        import jax
+
+        from stereo_tpu.models import Deep3D
+        from stereo_tpu.ops.imageops import rescale_generated_view
         from stereo_tpu.pipeline.single_view import FusedSingleViewEngine
         from stereo_tpu.synthesis.right_view_synthesis import (
-            RightViewSynthesis, synthesize_batch, synthesize_net_batch)
+            RightViewSynthesis, synthesize_net_batch)
 
         cfg_x = MatchingConfig(impl="xla", **kitti)
         cfg_p = MatchingConfig(impl="pallas", **kitti)
@@ -127,11 +131,20 @@ def _backends(include_slow: bool):
                                  compute_dtype=dtype)
 
         def one_graph(left, variables):
-            right = synthesize_batch(rvs.model, variables, left[None],
-                                     output_shape=(384, 1280),
-                                     full_shape=rvs.model_full_shape,
-                                     down_shape=rvs.model_down_shape,
-                                     compute_dtype=jnp.dtype(dtype))[0]
+            # Explicit (Pallas-free) composition so the flop graph compiles
+            # on the CPU backend even when a TPU is the default platform
+            # (Deep3D.__call__ would pick the fused Pallas blend there).
+            full = left[None] / 255.0
+            down = jnp.asarray(jax.image.resize(
+                full, (1, 3, 96, 320), method="bilinear"))
+            cd = jnp.dtype(dtype)
+            variables = jax.tree_util.tree_map(
+                lambda t: t.astype(cd) if hasattr(t, "dtype")
+                and t.dtype == jnp.float32 else t, variables)
+            right, _ = rvs.model.apply(
+                variables, full.astype(cd), down.astype(cd), train=False,
+                method=Deep3D.synthesize_with_probabilities)
+            right = rescale_generated_view(right[0].astype(jnp.float32))
             return compute_disparity_map(left, right, cfg_x)
 
         x = jnp.zeros((3, 384, 1280), jnp.float32)
@@ -241,11 +254,25 @@ def main() -> None:
                 if fps:
                     gbps = total_bytes * fps / 1e9
                     entry["hbm_GBps_at_fps"] = gbps
-                    entry["pct_of_v5e_hbm_bw"] = round(
-                        100.0 * gbps * 1e9 / V5E_HBM_BW, 2)
-                    entry["bound"] = ("memory-bound (>=60% HBM bw)"
-                                     if gbps * 1e9 >= 0.6 * V5E_HBM_BW
-                                     else "not memory-bound")
+                    pct = 100.0 * gbps * 1e9 / V5E_HBM_BW
+                    entry["pct_of_v5e_hbm_bw"] = round(pct, 2)
+                    # The compiler's bytes-accessed is an UPPER BOUND on
+                    # real traffic (it counts fused operands that may never
+                    # leave VMEM).  Well over the physical roof => the
+                    # overcount dominates and the row is inconclusive.
+                    if pct > 110.0:
+                        entry["bound"] = (
+                            "inconclusive: bytes estimate exceeds the "
+                            "physical roof (overcounted fusion operands); "
+                            "real traffic lies between io_bytes_floor and "
+                            "this upper bound")
+                    elif pct >= 60.0:
+                        entry["bound"] = (
+                            "memory-bound at the measured FPS (bytes "
+                            "estimate within estimate error of the HBM "
+                            "roof)")
+                    else:
+                        entry["bound"] = "not memory-bound at the measured FPS"
             except Exception as exc:  # noqa: BLE001 — flops remain valid
                 entry["tpu_bytes_error"] = str(exc)[:200]
         entries[key] = entry
