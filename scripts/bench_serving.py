@@ -73,6 +73,27 @@ def main() -> None:
     thread.start()
     url = f"http://localhost:{httpd.server_address[1]}"
 
+    # Tunnel-weather probe: raw device link bandwidth at record time.  The
+    # serving numbers are transfer-dominated behind a remote tunnel whose
+    # throughput varies >10x day to day; recording the link speed makes
+    # records comparable across rounds.
+    import jax as _jax
+    import numpy as _np
+
+    def _probe_bw() -> dict:
+        x = _np.random.default_rng(0).integers(
+            0, 255, (8, 1024, 1024), dtype=_np.uint8)   # 8 MB
+        t0 = time.perf_counter()
+        dev = _jax.block_until_ready(_jax.device_put(x))
+        up = 8.0 / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _np.asarray(dev)
+        down = 8.0 / (time.perf_counter() - t0)
+        return {"upload_MBps": round(up, 1), "download_MBps": round(down, 1)}
+
+    tunnel_bw = _probe_bw()
+    print(f"tunnel link: {tunnel_bw}")
+
     # Distinct payloads (the device tunnel memoizes value-identical work).
     payloads = [make_png(args.height, args.width, s) for s in range(16)]
 
@@ -165,6 +186,7 @@ def main() -> None:
                        "mean": round(float(lat_ms.mean()), 1)},
         "batches_run": server.batcher.batches_run if server.batcher else None,
         "frames_run": server.batcher.frames_run if server.batcher else None,
+        "tunnel_link_at_record_time": tunnel_bw,
         "per_batch_stage_breakdown_ms": breakdown,
         "bound_decomposition": {
             "note": "median single-batch stage times after load "
