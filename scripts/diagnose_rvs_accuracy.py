@@ -161,7 +161,9 @@ def main() -> None:
             mae = jnp.where(mask, err, 0.0).sum() / denom
             return {"D1": d1, "T1": t1, "MAE": mae}
 
-        def rungs(variables, key, temp):
+        temp = float(args.temps[0])          # static: baked into the jit
+
+        def rungs(variables, key):
             left, right, gt, gt_right = scene(key)
             synth, prob = forward(variables, left)
             exp_d = jnp.einsum("dhw,d->hw", prob, channels)
@@ -184,15 +186,14 @@ def main() -> None:
                     return _b._forward(_b.params, l[None], r[None])[0]
 
             @jax.jit
-            def ladder_one(variables, key, temp):
-                views, left, gt = rungs(variables, key, temp)
+            def ladder_one(variables, key):
+                views, left, gt = rungs(variables, key)
                 return {vn: metrics(match(left, v), gt)
                         for vn, v in views.items()}
 
             rows = {}
             for i, key in enumerate(keys):
-                out = jax.device_get(ladder_one(variables, key,
-                                                float(args.temps[0])))
+                out = jax.device_get(ladder_one(variables, key))
                 for vn, ms in out.items():
                     rows.setdefault(vn, {m: [] for m in ms})
                     for m, v in ms.items():
