@@ -191,6 +191,22 @@ class TestMicroBatcher:
         assert batcher.frames_run == 5
         assert batcher.batches_run < 5
 
+    def test_overlap_pipeline_preserves_order_across_batches(self):
+        """Many groups in flight: the dispatch/readback overlap (r5) must
+        still resolve every future with ITS OWN frame's result, and a
+        readback failure must not wedge later groups."""
+        from stereo_tpu.serve.api import MicroBatcher
+
+        stub = self._StubPipeline()
+        batcher = MicroBatcher(stub, max_batch=2, max_wait_ms=5.0, depth=2)
+        frames = [np.full((3, 4, 6), float(i), np.float32) for i in range(12)]
+        futures = [batcher.submit(f) for f in frames]
+        for i, f in enumerate(futures):
+            np.testing.assert_allclose(f.result(timeout=10), 3.0 * i)
+        assert batcher.frames_run == 12
+        assert batcher.batches_run >= 6   # groups of <=2, all drained
+        batcher.shutdown()
+
     def test_error_propagates_to_all_waiters(self):
         from stereo_tpu.serve.api import MicroBatcher
 
