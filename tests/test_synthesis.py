@@ -223,6 +223,9 @@ class TestCommittedCheckpointQuality:
             left, right))
         mask = (gt > 0) & (gt <= 64)
         d1 = float((np.abs(disp - gt)[mask] > 3.0).mean())
-        # committed native checkpoint measures ~0.47 here; an untrained
-        # model ~0.9+.  Gate well between.
-        assert d1 < 0.7, f"committed Deep3D single-view D1 {d1:.3f} >= 0.7"
+        # The r5 checkpoint (scene-family fix + oracle photometric target)
+        # measures ~0.09-0.10 here; the r4 one ~0.47; untrained ~0.9+.
+        # Gate at 0.25: loose enough for single-scene variance, tight
+        # enough that a recurrence of the r1-r4 mapping bias (global ~3 px
+        # disparity shift) fails the suite.
+        assert d1 < 0.25, f"committed Deep3D single-view D1 {d1:.3f} >= 0.25"

@@ -321,4 +321,6 @@ class TestTrainedDeep3D:
         pred = model.apply(variables, left, down, train=False)
         err_model = float(jnp.abs(pred - right).mean())
         err_identity = float(jnp.abs(left - right).mean())
-        assert err_model < 0.75 * err_identity, (err_model, err_identity)
+        # r5 checkpoint measures ~0.25x identity; gate at 0.5x (the r4
+        # mapping-biased checkpoint measured ~0.84x on this family).
+        assert err_model < 0.5 * err_identity, (err_model, err_identity)
