@@ -14,6 +14,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from stereo_tpu.utils.compile_cache import enable_persistent_cache
+
+# Stall-relaunch insurance (the playbook kills + warm-starts a hung run):
+# with the cache, a relaunch skips the ~8 min remote train-step recompile.
+enable_persistent_cache(min_compile_secs=10.0)
+
 from stereo_tpu.core.config import TrainerConfig
 from stereo_tpu.train import KittiStereoDataset, Trainer
 from stereo_tpu.utils.paths import DEEP3D_CHECKPOINT_DIR

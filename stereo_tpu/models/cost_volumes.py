@@ -14,6 +14,7 @@ are static slices — no gathers, XLA fuses them into the downstream convs.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -97,3 +98,69 @@ def disparity_regression(prob_ndhw: jnp.ndarray, max_disparity: int) -> jnp.ndar
     (N, D, H, W) probabilities -> (N, H, W) float disparities."""
     disparities = jnp.arange(max_disparity, dtype=prob_ndhw.dtype)
     return jnp.einsum("ndhw,d->nhw", prob_ndhw, disparities)
+
+
+def upsampled_soft_argmin(logits_low_ndhwc, out_dhw,
+                          block: int = 8) -> jnp.ndarray:
+    """``disparity_regression(softmax(upsample_trilinear(logits)))`` without
+    ever materializing the full-resolution (D, H, W) volume.
+
+    The regression heads of the 3-D cost-volume networks trilinearly
+    upsample a (D/4, H/4, W/4, 1) logit volume to full resolution, softmax
+    over D, and take the expectation — at the benched GwcNet config the
+    intermediate is 192x384x1280 (377 MB fp32) written and re-read several
+    times by an executable that TPU cost analysis places AT the HBM roof
+    (``results/bench/mfu_r05.json``).  This streams the same math instead:
+
+    * H/W are upsampled at LOW D (separable trilinear: resizing each axis
+      independently equals the joint resize for a linear kernel), 1/4 the
+      full volume;
+    * the D axis is expanded on the fly in ``block``-sized groups of
+      output planes — each a static 2-tap blend of adjacent low-D planes —
+      folded into a numerically-stable online softmax expectation
+      (running max / normalizer / weighted sum, flash-attention style).
+      Group boundaries and blend weights are Python-static, so the whole
+      loop unrolls into a flat fused XLA graph with no dynamic slicing.
+
+    Exactness: same mathematical function as the explicit composition,
+    different float association (tested at small shapes and gated on the
+    committed checkpoints' D1 at the full config).
+    """
+    import numpy as np
+
+    n, dl, hl, wl, c = logits_low_ndhwc.shape
+    if c != 1:
+        raise ValueError("regression head expects a single-channel volume")
+    D, H, W = (int(v) for v in out_dhw)
+    x = jax.image.resize(logits_low_ndhwc, (n, dl, H, W, 1),
+                         method="trilinear")[..., 0]       # (N, dl, H, W)
+    x = x.astype(jnp.float32)
+
+    # Half-pixel-convention D coordinates (jax.image.resize semantics).
+    in_c = np.clip((np.arange(D) + 0.5) * (dl / D) - 0.5, 0.0,
+                   float(dl - 1))
+    d0 = np.minimum(in_c.astype(np.int32), max(dl - 2, 0))
+    frac = (in_c - d0).astype(np.float32)
+
+    neg_inf = jnp.float32(-1e30)
+    m = jnp.full((n, H, W), neg_inf)
+    s = jnp.zeros((n, H, W), jnp.float32)
+    w = jnp.zeros((n, H, W), jnp.float32)
+    for start in range(0, D, block):
+        idx = range(start, min(start + block, D))
+        planes = [(1.0 - float(frac[d])) * x[:, int(d0[d])]
+                  + float(frac[d]) * x[:, int(d0[d]) + 1]
+                  if dl > 1 else x[:, 0] for d in idx]
+        m_blk = planes[0]
+        for p in planes[1:]:
+            m_blk = jnp.maximum(m_blk, p)
+        s_blk = sum(jnp.exp(p - m_blk) for p in planes)
+        w_blk = sum(float(d) * jnp.exp(p - m_blk)
+                    for d, p in zip(idx, planes))
+        m_new = jnp.maximum(m, m_blk)
+        scale_old = jnp.exp(m - m_new)
+        scale_blk = jnp.exp(m_blk - m_new)
+        s = s * scale_old + s_blk * scale_blk
+        w = w * scale_old + w_blk * scale_blk
+        m = m_new
+    return w / s

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .cost_volumes import (build_concat_volume, build_gwc_volume,
-                           disparity_regression)
+                           disparity_regression, upsampled_soft_argmin)
 from .layers import (BasicResBlock, Conv3dMXU, ConvBnAct, DeconvBn,
                      nchw_to_nhwc, upsample_trilinear)
 
@@ -140,6 +140,14 @@ class GwcNet(nn.Module):
                     Classifier3D(name=f"classif{i + 1}")(x, train))
 
         def regress(logits_ndhwc):
+            if not train:
+                # Streaming head: same math, but the (D, H, W) volume
+                # (377 MB at the benched config) never exists in HBM — the
+                # executable is at the HBM roof (results/bench/mfu_r05.json)
+                # so the traffic cut is wall-clock (measured in
+                # gwcnet_floor_r05.json's addendum).
+                return upsampled_soft_argmin(
+                    logits_ndhwc, (self.max_disparity, height, width))
             full = upsample_trilinear(logits_ndhwc,
                                       (self.max_disparity, height, width))
             prob = nn.softmax(full[..., 0], axis=1)      # (N, D, H, W)

@@ -24,7 +24,8 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .cost_volumes import build_concat_volume, disparity_regression
+from .cost_volumes import (build_concat_volume, disparity_regression,
+                           upsampled_soft_argmin)
 from .layers import (Conv3dMXU, ConvBnAct, DeconvBn, MobileV2Block2D,
                      MobileV2Block3D, SeparableConvBn2D, nchw_to_nhwc,
                      upsample_trilinear)
@@ -150,6 +151,9 @@ class MSNet2D(nn.Module):
 
         def regress(logits_nhwd):
             vol = jnp.transpose(logits_nhwd, (0, 3, 1, 2))[..., None]
+            if not train:
+                return upsampled_soft_argmin(
+                    vol, (self.max_disparity, height, width))
             full = upsample_trilinear(vol, (self.max_disparity, height, width))
             prob = nn.softmax(full[..., 0], axis=1)
             return disparity_regression(prob, self.max_disparity)
@@ -208,6 +212,9 @@ class MSNet3D(nn.Module):
                 outputs.append(logits)
 
         def regress(logits_ndhwc):
+            if not train:
+                return upsampled_soft_argmin(
+                    logits_ndhwc, (self.max_disparity, height, width))
             full = upsample_trilinear(logits_ndhwc,
                                       (self.max_disparity, height, width))
             prob = nn.softmax(full[..., 0], axis=1)

@@ -24,6 +24,28 @@ def rand(*shape):
 
 
 class TestCostVolumes:
+    def test_streaming_soft_argmin_matches_explicit_head(self):
+        """upsampled_soft_argmin (the r5 streaming regression head — the
+        full-res volume never materializes) must equal the explicit
+        trilinear-upsample -> softmax -> expectation composition."""
+        import flax.linen as nn
+
+        from stereo_tpu.models.cost_volumes import (disparity_regression,
+                                                    upsampled_soft_argmin)
+        from stereo_tpu.models.layers import upsample_trilinear
+
+        rng = np.random.default_rng(3)
+        for (dl, hl, wl, D, H, W) in [(12, 8, 16, 48, 32, 64),
+                                      (16, 6, 10, 64, 24, 40),
+                                      (1, 4, 4, 4, 8, 8)]:
+            x = jnp.asarray(rng.standard_normal((2, dl, hl, wl, 1)) * 3.0,
+                            jnp.float32)
+            full = upsample_trilinear(x, (D, H, W))
+            want = disparity_regression(nn.softmax(full[..., 0], axis=1), D)
+            got = upsampled_soft_argmin(x, (D, H, W))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=0, atol=1e-4)
+
     def test_groupwise_correlation(self):
         fa, fb = rand(1, 4, 6, 8), rand(1, 4, 6, 8)
         got = groupwise_correlation(fa, fb, 2)
