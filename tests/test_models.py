@@ -46,6 +46,22 @@ class TestCostVolumes:
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=0, atol=1e-4)
 
+    def test_gwc_volume_pallas_negative_result_artifact_parity(self):
+        """The preserved (not-deployed) Pallas volume build must stay
+        bit-exact vs the XLA build in interpret mode — it documents a
+        measured negative result (see its module docstring) and a future
+        round may retune it."""
+        from stereo_tpu.models.cost_volumes import build_gwc_volume
+        from stereo_tpu.ops.pallas.gwc_volume import build_gwc_volume_pallas
+
+        rng = np.random.default_rng(7)
+        l = jnp.asarray(rng.standard_normal((2, 8, 24, 40)), jnp.float32)
+        r = jnp.asarray(rng.standard_normal((2, 8, 24, 40)), jnp.float32)
+        want = np.asarray(build_gwc_volume(l, r, 12, 10))
+        got = np.asarray(build_gwc_volume_pallas(l, r, 12, 10,
+                                                 interpret=True))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
     def test_groupwise_correlation(self):
         fa, fb = rand(1, 4, 6, 8), rand(1, 4, 6, 8)
         got = groupwise_correlation(fa, fb, 2)
