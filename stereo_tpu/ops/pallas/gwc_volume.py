@@ -10,9 +10,17 @@ gwcnet executables measure AT the HBM roof, so a VMEM-resident build
 (read features once, compute all D planes in-kernel) should be wall-clock
 faster.
 
-Measurement (v5e, 2026-08-21, ``scripts/microbench_gwc_volume.py``):
-**Pallas 14.1 ms vs XLA 4.35 ms per build** (fp32, h_block=2, the only
-configuration that both compiles and fits VMEM).  Why it loses:
+Measurement (v5e, 2026-08-21).  Isolated build (``scripts/
+microbench_gwc_volume.py``, lax.map marginal protocol): Pallas 14.1 ms
+vs XLA 16.3 ms fp32 — the kernel narrowly wins in isolation (the 4.35 ms
+the per-stage profile reports for the XLA build is protocol-dependent).
+DECISIVE full-graph A/B (``scripts/exp_gwc_volume_fullgraph.py``, the
+whole gwcnet ``_forward``): **XLA 56.5 ms vs Pallas 58.8 ms per frame
+(bf16)** — deploying the kernel makes the backend 4% SLOWER: the Mosaic
+co-compile penalty (a custom call costs XLA's latency hiding for
+co-compiled ops) plus the kernel's relayout overhead outweigh the traffic
+it saves.  Why the kernel itself is slow (h_block=2 is the only
+configuration that both compiles and fits VMEM):
 
 * Mosaic cannot prove alignment of data-dependent sublane starts, so the
   disparity shifts must be STATIC slices — the whole D loop unrolls in
@@ -54,10 +62,12 @@ def _kernel(left_ref, rp_ref, gmean_ref, out_ref, *, max_disparity: int,
     prec = jax.lax.Precision.HIGHEST if highest else None
     for d in range(max_disparity):
         shifted = rp[:, max_disparity - d:max_disparity - d + w, :]
+        # fp32 accumulation (Mosaic requires a 32-bit matmul acc); cast to
+        # the volume dtype on store.
         out_ref[d] = jax.lax.dot_general(
             left * shifted, gmean, (((2,), (0,)), ((), ())),
             precision=prec,
-            preferred_element_type=out_ref.dtype)
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _build_one(left_hwc, rp_hwc, gmean, max_disparity, interpret):
