@@ -42,36 +42,54 @@ from stereo_tpu.pipeline.single_view import FusedSingleViewEngine
 from stereo_tpu.synthesis.right_view_synthesis import RightViewSynthesis
 
 
-def measure_batch(engine, batch, repeats=4, m_small=4, m_large=16):
+def measure_batch(engine, batch, repeats=4, m_small=8, m_large=24):
+    """Async-pipelined dispatch-slope over the production 2-executable chain.
+
+    Wrapping the whole chain in one outer jit is NOT viable here: the
+    merged net+tail mega-graph broke the tunnel's remote-compile endpoint
+    (observed: 29 min then `Broken pipe` on /remote_compile).  Instead this
+    drives the two executables the pipeline actually ships — already in the
+    committed bench_cache — the way serving does: enqueue M chains over
+    DISTINCT device-resident inputs without blocking (JAX async dispatch
+    overlaps the ~25 ms/exec tunnel RPC with device compute), block on all
+    M outputs, and take the (M_large - M_small) marginal slope so fixed
+    costs difference out.  Distinct inputs defeat the tunnel's
+    value-identical memoization; blocking on the real outputs defeats
+    elision.
+    """
     h, w = engine.config.height, engine.config.width
     rng = np.random.default_rng(batch)
-    left = jnp.asarray(rng.uniform(0, 255, (batch, 3, h, w)), jnp.float32)
+    base = jnp.asarray(rng.uniform(0, 255, (batch, 3, h, w)), jnp.float32)
+    perturb = jax.jit(lambda x, e: x + e)
+    lefts = [jax.device_put(perturb(base, jnp.float32(i) * 1e-38))
+             for i in range(m_large)]
+    jax.block_until_ready(lefts)
 
-    def make_runner(m):
-        @jax.jit
-        def run_m(seed, l):
-            def one(i):
-                prob_low, full01 = engine._fn_net(
-                    engine.synthesis.variables, l + (seed + i) * 1e-38)
-                d, r = engine._fn_tail_match(prob_low, full01, l)
-                return jnp.sum(d) + jnp.sum(r)
-            return jnp.sum(lax.map(one, jnp.arange(m, dtype=jnp.float32)))
-        return run_m
+    # The tunnel's block_until_ready returns before remote compute drains
+    # (verified: blocking alone reads 5000+ "FPS" at batch 1), so the timed
+    # unit must end in a VALUE readback whose dependency chain covers every
+    # chain's outputs: a device scalar accumulated across chains, float()ed
+    # once at the end.  All intermediate dispatches stay async.
+    acc = jax.jit(lambda s, d, r: s + jnp.sum(d) + jnp.sum(r))
 
-    run_small, run_large = make_runner(m_small), make_runner(m_large)
-    jax.block_until_ready(run_small(jnp.float32(1.0), left))
-    jax.block_until_ready(run_large(jnp.float32(2.0), left))
+    def run_chain(m, offset):
+        s = jnp.float32(0.0)
+        for i in range(m):
+            d, r = engine.process_batch(lefts[(offset + i) % m_large])
+            s = acc(s, d, r)
+        return float(s)
 
-    def timed(run, seed):
+    run_chain(2, 0)  # warm (cache-hit compile)
+
+    def timed(m, offset):
         t0 = time.perf_counter()
-        float(run(jnp.float32(seed), left))
+        run_chain(m, offset)
         return time.perf_counter() - t0
 
-    seed, t_small, t_large = 3.0, float("inf"), float("inf")
-    for _ in range(repeats):
-        t_small = min(t_small, timed(run_small, seed))
-        t_large = min(t_large, timed(run_large, seed + 1))
-        seed += 2
+    t_small = t_large = float("inf")
+    for r in range(repeats):
+        t_small = min(t_small, timed(m_small, r))
+        t_large = min(t_large, timed(m_large, r + 1))
     slope = max((t_large - t_small) / (m_large - m_small), 1e-9)
     return batch / slope, slope / batch * 1e3
 
@@ -100,9 +118,10 @@ def main():
         "config": ("single view (Deep3D RVS + classical matcher), 384x1280 "
                    "D=0..64, fp32, one v5e chip, r5 checkpoint + streaming "
                    "soft-argmin head"),
-        "protocol": ("dispatch-slope over the production 2-executable chain "
-                     "(pipeline/single_view.py), m=4/16 in-graph trips, min "
-                     f"of {args.repeats} repeats"),
+        "protocol": ("async-pipelined dispatch-slope over the production "
+                     "2-executable chain (pipeline/single_view.py), m=8/24 "
+                     f"chains over distinct device-resident inputs, min of "
+                     f"{args.repeats} repeats"),
         "rows": rows,
         "note": ("Refresh of the r4 record on the r5 engine (retrained "
                  "checkpoint, streaming head -- no full-res probability "
