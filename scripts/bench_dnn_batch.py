@@ -110,8 +110,6 @@ def main():
                  "element, which the streaming head eliminates.  See the "
                  "verdict field for whether conv-dim batching now pays."),
     }
-    per_frame = {k: v for k, v in fps.items()}
-    record["verdict"] = per_frame
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)
